@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark: StereoSpike training throughput on one TPU chip.
+
+Metric: event frames/sec/chip through the FULL training step (forward over
+T timesteps + BPTT + Adam update) of the flagship binocular StereoSpike at
+the reference resolution 260×346 (BASELINE.json north-star metric).
+
+``vs_baseline`` compares against the reference implementation measured on
+the hardware available to it here (torch CPU, batch 1 — the reference's own
+configuration, train.py:63); see ``benchmarks/reference_torch_baseline.py``.
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def measure(batch: int = 16, iters: int = 20, warmup: int = 3,
+            compute_dtype=jnp.bfloat16, T: int = 1) -> float:
+    from stereospike_tpu.data import synthetic_batch
+    from stereospike_tpu.models import init_params, stereospike
+    from stereospike_tpu.objectives import TotalLossConfig
+    from stereospike_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = stereospike()  # flagship at (260, 346)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(2e-4)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    batch_data = synthetic_batch(
+        jax.random.PRNGKey(2), batch=batch, in_hw=cfg.in_hw, T=T)
+    step = jax.jit(make_train_step(
+        cfg, TotalLossConfig(), tx, compute_dtype=compute_dtype, remat=(T > 4)))
+
+    for _ in range(warmup):
+        state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch_data)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    return batch * T * iters / dt
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    fps = measure(batch=batch, iters=iters)
+
+    baseline = None
+    base_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get("frames_per_sec")
+
+    print(json.dumps({
+        "metric": "event frames/sec/chip (StereoSpike 260x346 train step, fwd+bwd+adam)",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 2) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,341 @@
+"""StereoSpike: fully-spiking U-Net for dense depth from event streams.
+
+TPU-native re-design of the reference architecture
+(``/root/reference/network/SNN_models.py:63-248`` and variants ``:251-898``):
+
+- encoder: bottom conv(k5,s1) then 4× conv(k5,s2), channels 32→64→128→256→512
+- bottleneck: 2× SEW residual blocks (ADD connect)
+- decoder: 4× NNConvUpsampling(k5) to the mirrored encoder resolutions, with
+  additive spike skip connections
+- prediction: per-scale NNConvUpsampling(k3, bias) heads charging one shared
+  pool of non-firing integrator neurons whose membrane potential *is* the
+  depth map — a **cumulative** multi-scale prediction: depth_k = potential
+  after head k's charge has been added on top of deeper heads' charges
+  (reference ``SNN_models.py:170-188``)
+
+Differences from the reference are design, not behavior:
+
+- functional: parameters are a pytree; neuron membrane potentials are an
+  explicit state dict (a ``lax.scan`` carry for T>1), so "reset_net" is just
+  ``init_state``
+- activations NHWC (channel-minor = TPU lane dimension), weights HWIO
+- resolution is a config parameter: the per-level spatial sizes (including
+  the baked upsample targets (33,44)/(65,87)/(130,173)/(260,346) of the
+  reference at 260×346) are derived from ``in_hw`` by conv arithmetic
+- one skeleton serves every reference variant (IF flagship, LIF/PLIF
+  "tempo", monocular, no-skip, cut-predict) via config
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereospike_tpu.nn.blocks import (
+    conv_scale,
+    init_conv_block,
+    init_sew_block,
+    sew_block_apply,
+    upsample_conv_scale,
+)
+from stereospike_tpu.snn.neurons import if_step, integrator_step, lif_step, plif_step, plif_w_from_tau
+from stereospike_tpu.snn.surrogate import make_spike_fn
+
+Array = jax.Array
+
+# Firing-rate tap names, matching reference calculate_firing_rates
+# (SNN_models.py:194-245; 'out_combined' exists in the reference dict but is
+# never assigned, so it is omitted here).
+TAP_NAMES = (
+    "out_bottom", "out_conv1", "out_conv2", "out_conv3", "out_conv4",
+    "out_rconv",
+    "out_deconv4", "out_add4", "out_deconv3", "out_add3",
+    "out_deconv2", "out_add2", "out_deconv1", "out_add1",
+)
+
+_PLIF_SITES = (
+    "bottom", "conv1", "conv2", "conv3", "conv4",
+    "deconv4", "deconv3", "deconv2", "deconv1",
+)
+_SEW_PLIF_SITES = ("sew1_a", "sew1_b", "sew2_a", "sew2_b")
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoSpikeConfig:
+    """Architecture + neuron configuration for the StereoSpike family."""
+
+    in_channels: int = 4                 # 4 binocular, 2 monocular
+    base_channels: int = 32
+    in_hw: Tuple[int, int] = (260, 346)
+    neuron: str = "if"                   # 'if' | 'lif' | 'plif' (encoder/decoder)
+    tau: float = 3.0                     # LIF tau / PLIF init tau
+    surrogate: str = "atan"
+    surrogate_alpha: Optional[float] = None
+    sew_neuron: Optional[str] = None     # default: 'if' if neuron=='if' else 'plif'
+    sew_surrogate: str = "sigmoid"       # reference SEWResBlock default
+    sew_surrogate_alpha: Optional[float] = None
+    v_threshold: float = 1.0
+    v_reset: Optional[float] = 0.0
+    detach_reset: bool = True
+    multiply_factor: float = 1.0
+    learnable_multiply: bool = False
+    use_skips: bool = True
+    heads: Tuple[int, ...] = (1, 2, 3, 4)  # scales with prediction heads
+    connect_fn: str = "ADD"
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        b = self.base_channels
+        return (b, 2 * b, 4 * b, 8 * b, 16 * b)
+
+    @property
+    def sizes(self) -> Tuple[Tuple[int, int], ...]:
+        """Spatial sizes per level: level 0 = input res, level 4 = bottleneck.
+
+        Each k5/s2/p2 conv maps H → ceil(H/2); at 260×346 this reproduces the
+        reference pyramid (260,346)/(130,173)/(65,87)/(33,44)/(17,22).
+        """
+        h, w = self.in_hw
+        out = [(h, w)]
+        for _ in range(4):
+            h, w = math.ceil(h / 2), math.ceil(w / 2)
+            out.append((h, w))
+        return tuple(out)
+
+    @property
+    def effective_sew_neuron(self) -> str:
+        if self.sew_neuron is not None:
+            return self.sew_neuron
+        return "if" if self.neuron == "if" else "plif"
+
+    @property
+    def learnable_scale(self) -> Optional[float]:
+        return self.multiply_factor if self.learnable_multiply else None
+
+
+# ------------------------------------------------------------------ params
+def init_params(key: Array, cfg: StereoSpikeConfig) -> Dict:
+    """Initialize the parameter pytree (torch-default conv init)."""
+    keys = jax.random.split(key, 16)
+    c = cfg.channels
+    ls = cfg.learnable_scale
+    params: Dict = {
+        "bottom": init_conv_block(keys[0], 5, cfg.in_channels, c[0], learnable_scale=ls),
+        "conv1": init_conv_block(keys[1], 5, c[0], c[1], learnable_scale=ls),
+        "conv2": init_conv_block(keys[2], 5, c[1], c[2], learnable_scale=ls),
+        "conv3": init_conv_block(keys[3], 5, c[2], c[3], learnable_scale=ls),
+        "conv4": init_conv_block(keys[4], 5, c[3], c[4], learnable_scale=ls),
+        "sew1": init_sew_block(keys[5], c[4], learnable_scale=ls),
+        "sew2": init_sew_block(keys[6], c[4], learnable_scale=ls),
+        "deconv4": init_conv_block(keys[7], 5, c[4], c[3], learnable_scale=ls),
+        "deconv3": init_conv_block(keys[8], 5, c[3], c[2], learnable_scale=ls),
+        "deconv2": init_conv_block(keys[9], 5, c[2], c[1], learnable_scale=ls),
+        "deconv1": init_conv_block(keys[10], 5, c[1], c[0], learnable_scale=ls),
+    }
+    for i, s in enumerate((1, 2, 3, 4)):
+        if s in cfg.heads:
+            params[f"pred{s}"] = init_conv_block(
+                keys[11 + i], 3, c[s - 1], 1, bias=True, learnable_scale=ls
+            )
+    if cfg.neuron == "plif":
+        params["plif"] = {site: plif_w_from_tau(cfg.tau) for site in _PLIF_SITES}
+    if cfg.effective_sew_neuron == "plif":
+        params.setdefault("plif", {})
+        params["plif"].update(
+            {site: plif_w_from_tau(cfg.tau) for site in _SEW_PLIF_SITES}
+        )
+    return params
+
+
+def init_state(cfg: StereoSpikeConfig, batch: int, dtype=jnp.float32) -> Dict:
+    """Fresh zero membrane-potential state (the functional ``reset_net``).
+
+    Includes every spiking site plus the shared output integrator pool
+    ('Ineurons'). For the stateless flagship this is rebuilt every chunk.
+    """
+    c = cfg.channels
+    s = cfg.sizes
+
+    def z(level: int, ch: int) -> Array:
+        return jnp.zeros((batch, s[level][0], s[level][1], ch), dtype)
+
+    state = {
+        "bottom": z(0, c[0]),
+        "conv1": z(1, c[1]),
+        "conv2": z(2, c[2]),
+        "conv3": z(3, c[3]),
+        "conv4": z(4, c[4]),
+        "sew1_a": z(4, c[4]),
+        "sew1_b": z(4, c[4]),
+        "sew2_a": z(4, c[4]),
+        "sew2_b": z(4, c[4]),
+        "deconv4": z(3, c[3]),
+        "deconv3": z(2, c[2]),
+        "deconv2": z(1, c[1]),
+        "deconv1": z(0, c[0]),
+        "Ineurons": z(0, 1),
+    }
+    return state
+
+
+# ------------------------------------------------------------------ forward
+def _make_fire(params: Dict, cfg: StereoSpikeConfig, state: Dict, new_state: Dict):
+    """Build a per-site charge→spike closure handling neuron type and state."""
+    spike_enc = make_spike_fn(cfg.surrogate, cfg.surrogate_alpha)
+    spike_sew = make_spike_fn(cfg.sew_surrogate, cfg.sew_surrogate_alpha)
+
+    def fire(site: str, x: Array) -> Array:
+        in_sew = site.startswith("sew")
+        kind = cfg.effective_sew_neuron if in_sew else cfg.neuron
+        spike_fn = spike_sew if in_sew else spike_enc
+        kw = dict(
+            v_threshold=cfg.v_threshold,
+            v_reset=cfg.v_reset,
+            spike_fn=spike_fn,
+            detach_reset=cfg.detach_reset,
+        )
+        v = state[site]
+        if kind == "if":
+            v2, s = if_step(v, x, **kw)
+        elif kind == "lif":
+            v2, s = lif_step(v, x, tau=cfg.tau, **kw)
+        elif kind == "plif":
+            v2, s = plif_step(v, x, params["plif"][site], **kw)
+        else:
+            raise ValueError(f"unknown neuron '{kind}'")
+        new_state[site] = v2
+        return s
+
+    return fire
+
+
+def forward(
+    params: Dict,
+    frame: Array,
+    cfg: StereoSpikeConfig,
+    state: Optional[Dict] = None,
+    *,
+    return_taps: bool = False,
+):
+    """One timestep. ``frame``: [B, H, W, C_in].
+
+    Returns ``(depths, spikes, new_state)`` (+ ``taps`` if requested), where
+    ``depths`` is ordered full-scale-first ([depth1..depth4] for the default
+    head set, matching reference ``SNN_models.py:192``), ``spikes`` is
+    ``[out_rconv, out_add4, out_add3, out_add2, out_add1]`` for spike
+    penalization, and ``new_state`` carries membrane potentials (incl. the
+    depth integrator pool).
+    """
+    if state is None:
+        state = init_state(cfg, frame.shape[0], frame.dtype)
+    new_state: Dict = {}
+    fire = _make_fire(params, cfg, state, new_state)
+    ms = cfg.multiply_factor if not cfg.learnable_multiply else 1.0
+    sizes = cfg.sizes
+    taps: Dict[str, Array] = {}
+
+    def tap(name: str, x: Array) -> Array:
+        if return_taps:
+            taps[name] = x
+        return x
+
+    # encoder
+    out_bottom = tap("out_bottom", fire("bottom", conv_scale(
+        frame, params["bottom"], stride=1, padding=2, static_scale=ms)))
+    out_conv1 = tap("out_conv1", fire("conv1", conv_scale(
+        out_bottom, params["conv1"], stride=2, padding=2, static_scale=ms)))
+    out_conv2 = tap("out_conv2", fire("conv2", conv_scale(
+        out_conv1, params["conv2"], stride=2, padding=2, static_scale=ms)))
+    out_conv3 = tap("out_conv3", fire("conv3", conv_scale(
+        out_conv2, params["conv3"], stride=2, padding=2, static_scale=ms)))
+    out_conv4 = tap("out_conv4", fire("conv4", conv_scale(
+        out_conv3, params["conv4"], stride=2, padding=2, static_scale=ms)))
+
+    # bottleneck: 2 SEW residual blocks
+    out = sew_block_apply(
+        params["sew1"], out_conv4,
+        lambda x: fire("sew1_a", x), lambda x: fire("sew1_b", x),
+        static_scale=ms, connect_fn=cfg.connect_fn)
+    out_rconv = tap("out_rconv", sew_block_apply(
+        params["sew2"], out,
+        lambda x: fire("sew2_a", x), lambda x: fire("sew2_b", x),
+        static_scale=ms, connect_fn=cfg.connect_fn))
+
+    # decoder with cumulative depth integration
+    v_depth = state["Ineurons"]
+    skips = (out_bottom, out_conv1, out_conv2, out_conv3)
+    depths_by_scale: Dict[int, Array] = {}
+    spikes: List[Array] = [out_rconv]
+
+    x = out_rconv
+    for scale in (4, 3, 2, 1):
+        x = tap(f"out_deconv{scale}", fire(f"deconv{scale}", upsample_conv_scale(
+            x, params[f"deconv{scale}"], target_hw=sizes[scale - 1], static_scale=ms)))
+        if cfg.use_skips:
+            x = x + skips[scale - 1]
+        x = tap(f"out_add{scale}", x)
+        spikes.append(x)
+        if scale in cfg.heads:
+            charge = upsample_conv_scale(
+                x, params[f"pred{scale}"], target_hw=sizes[0], static_scale=ms)
+            v_depth = integrator_step(v_depth, charge)
+            depths_by_scale[scale] = v_depth
+
+    new_state["Ineurons"] = v_depth
+    depths = [depths_by_scale[s] for s in sorted(cfg.heads)]
+
+    if return_taps:
+        return depths, spikes, new_state, taps
+    return depths, spikes, new_state
+
+
+def forward_sequence(
+    params: Dict,
+    frames: Array,
+    cfg: StereoSpikeConfig,
+    state: Optional[Dict] = None,
+    *,
+    remat: bool = False,
+):
+    """Scan ``forward`` over time. ``frames``: [B, T, H, W, C].
+
+    Membrane potentials (including the depth integrator) carry across steps;
+    returns the outputs of the **last** step plus the final state — the
+    natural generalization of the reference's stateful multi-chunk mode
+    (``SNN_models.py:22-48``). ``remat=True`` rematerializes each timestep in
+    the backward pass (memory ∝ O(1) instead of O(T) activations).
+    """
+    if state is None:
+        state = init_state(cfg, frames.shape[0], frames.dtype)
+
+    def step(carry, frame):
+        depths, spikes, new_state = forward(params, frame, cfg, carry)
+        return new_state, (depths, spikes)
+
+    if remat:
+        step = jax.checkpoint(step)
+
+    frames_t = jnp.moveaxis(frames, 1, 0)  # [T, B, H, W, C]
+    final_state, (depths_seq, spikes_seq) = jax.lax.scan(step, state, frames_t)
+    depths = [d[-1] for d in depths_seq]
+    spikes = [s[-1] for s in spikes_seq]
+    return depths, spikes, final_state
+
+
+def firing_rates(params: Dict, frame: Array, cfg: StereoSpikeConfig,
+                 state: Optional[Dict] = None) -> Dict[str, Array]:
+    """Per-tap spike density count_nonzero/size (reference
+    ``calculate_firing_rates``, SNN_models.py:194-245) as on-device scalars."""
+    _, _, _, taps = forward(params, frame, cfg, state, return_taps=True)
+    return {
+        name: jnp.count_nonzero(t).astype(jnp.float32) / t.size
+        for name, t in taps.items()
+    }
+
+
+def count_params(params: Dict) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,163 @@
+"""Low-level functional layers: conv, upsampling, resizing, init.
+
+Layouts are TPU-native: activations NHWC (channels on the 128-lane minor
+dimension), weights HWIO. The reference's torch modules (NCHW/OIHW) map onto
+these by transposition only; semantics below are chosen to match torch
+operators bit-for-tolerance so that capability parity is testable:
+
+- ``conv2d``: torch ``nn.Conv2d`` with integer zero-padding
+  (reference ``network/SNN_models.py:76`` etc.)
+- ``nearest_upsample``: torch ``nn.UpsamplingNearest2d(size=...)``:
+  ``src = floor(dst * in / out)`` (reference ``network/blocks.py:125``)
+- ``bilinear_resize``: torch ``F.interpolate(mode='bilinear')`` with either
+  align_corners convention (loss GT resize uses False, ``loss.py:38``;
+  the ANN's BilinConvUpsampling uses True, ``blocks.py:30``)
+- ``conv_init``: torch Conv2d default init — kaiming-uniform(a=√5), i.e.
+  U(-1/√fan_in, 1/√fan_in) for both weight and bias.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_DIMNUMS = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(
+    x: Array,
+    w: Array,
+    b: Optional[Array] = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+) -> Array:
+    """2-D convolution, activations NHWC, weights HWIO.
+
+    Precision policy: fp32 inputs use HIGHEST (true fp32 math — XLA's default
+    would silently round operands to bf16); bf16 inputs take the fast MXU
+    path, whose hardware accumulator is fp32 regardless. The output dtype
+    follows the inputs (no ``preferred_element_type``: a widened output would
+    make the conv transpose pair an fp32 cotangent with bf16 weights and fail
+    under ``grad``).
+    """
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=_DIMNUMS,
+        precision=precision,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv_init(
+    key: Array,
+    kernel_size: int,
+    c_in: int,
+    c_out: int,
+    *,
+    bias: bool = False,
+    dtype=jnp.float32,
+) -> dict:
+    """Torch-default conv init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    Returns ``{'w': [k,k,c_in,c_out]}`` (+ ``'b': [c_out]`` when bias).
+    """
+    fan_in = c_in * kernel_size * kernel_size
+    bound = 1.0 / np.sqrt(fan_in)
+    kw, kb = jax.random.split(key)
+    params = {
+        "w": jax.random.uniform(
+            kw, (kernel_size, kernel_size, c_in, c_out), dtype, -bound, bound
+        )
+    }
+    if bias:
+        params["b"] = jax.random.uniform(kb, (c_out,), dtype, -bound, bound)
+    return params
+
+
+@functools.lru_cache(maxsize=None)
+def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
+    # torch UpsamplingNearest2d: src = floor(dst * in / out)
+    return (np.arange(out_size) * in_size) // out_size
+
+
+def nearest_upsample(x: Array, size: Tuple[int, int]) -> Array:
+    """Nearest-neighbour resize of NHWC ``x`` to spatial ``size`` (torch semantics)."""
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    hi = jnp.asarray(_nearest_indices(h_in, h_out))
+    wi = jnp.asarray(_nearest_indices(w_in, w_out))
+    return x[:, hi][:, :, wi]
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_weights(in_size: int, out_size: int, align_corners: bool):
+    if align_corners:
+        if out_size == 1:
+            src = np.zeros(1)
+        else:
+            src = np.arange(out_size) * (in_size - 1) / (out_size - 1)
+    else:
+        src = (np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    w_hi = (src - lo).astype(np.float32)
+    return lo, hi, w_hi
+
+
+def bilinear_resize(x: Array, size: Tuple[int, int], *, align_corners: bool = False) -> Array:
+    """Bilinear resize of NHWC ``x`` to spatial ``size`` (torch F.interpolate)."""
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    lo_h, hi_h, wh = _linear_weights(h_in, h_out, align_corners)
+    lo_w, hi_w, ww = _linear_weights(w_in, w_out, align_corners)
+    wh = jnp.asarray(wh, x.dtype)[None, :, None, None]
+    ww = jnp.asarray(ww, x.dtype)[None, None, :, None]
+    x = x[:, jnp.asarray(lo_h)] * (1 - wh) + x[:, jnp.asarray(hi_h)] * wh
+    x = x[:, :, jnp.asarray(lo_w)] * (1 - ww) + x[:, :, jnp.asarray(hi_w)] * ww
+    return x
+
+
+def upsample_conv(
+    x: Array,
+    w: Array,
+    b: Optional[Array] = None,
+    *,
+    target_hw: Tuple[int, int],
+    mode: str = "nearest",
+) -> Array:
+    """NN-upsample-then-valid-conv anti-checkerboard upsampling.
+
+    Reference ``NNConvUpsampling`` (``network/blocks.py:110-132``): resize to
+    ``target + (k-1)`` then k×k VALID conv, landing exactly on ``target``.
+    ``mode='bilinear'`` gives the ANN's ``BilinConvUpsampling``
+    (align_corners=True, ``blocks.py:30``).
+    """
+    k = w.shape[0]
+    up_size = (target_hw[0] + k - 1, target_hw[1] + k - 1)
+    if mode == "nearest":
+        up = nearest_upsample(x, up_size)
+    elif mode == "bilinear":
+        up = bilinear_resize(x, up_size, align_corners=True)
+    else:
+        raise ValueError(f"unknown upsample mode '{mode}'")
+    return conv2d(up, w, b, stride=1, padding=0)

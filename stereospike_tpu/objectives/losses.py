@@ -1,0 +1,134 @@
+"""Training losses: multiscale scale-invariant + gradient matching
+(+ optional spike penalization).
+
+Reference: ``/root/reference/network/loss.py``. Reformulated for XLA:
+invalid GT pixels are a boolean mask instead of NaNs, every reduction is a
+masked sum over static shapes, and the per-scale GT rescale is a mask-aware
+bilinear resize (identity for the flagship, whose four heads all predict at
+full resolution — loss.py:38,90 is a no-op there).
+
+Formulas (n = number of valid pixels, res = (pred − gt) zeroed at invalid):
+
+- scale-invariant (loss.py:7-24):   Σ res² / n  −  (Σ res)² / n²
+- gradient matching (loss.py:44-75): Σ (|∂x res| + |∂y res|)·mask / n with
+  3×3 Sobel filters, stride 1, zero padding 1
+- spike penalization (loss.py:96-107): Σ_tensors Σ s² / (2·numel)
+- total (loss.py:110-135): SI + α·GM (+ β·SP), defaults α=0.5,
+  scale_weights=(1,1,1,1), β=1
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stereospike_tpu.nn.layers import bilinear_resize, conv2d
+
+Array = jax.Array
+
+# Sobel kernels, HWIO [3,3,1,1] (loss.py:61-65)
+_SOBEL_X = jnp.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], jnp.float32).reshape(3, 3, 1, 1)
+_SOBEL_Y = jnp.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32).reshape(3, 3, 1, 1)
+
+
+def _masked_residual(predicted: Array, groundtruth: Array, mask: Array):
+    maskf = mask.astype(predicted.dtype)
+    n = jnp.maximum(jnp.sum(maskf), 1.0)
+    res = (predicted - groundtruth) * maskf
+    return res, maskf, n
+
+
+def scale_invariant_loss(predicted: Array, groundtruth: Array, mask: Array) -> Array:
+    """Masked scale-invariant MSE (loss.py:7-24)."""
+    res, _, n = _masked_residual(predicted, groundtruth, mask)
+    mse = jnp.sum(res * res) / n
+    quad = jnp.square(jnp.sum(res)) / (n * n)
+    return mse - quad
+
+
+def gradient_matching_loss(predicted: Array, groundtruth: Array, mask: Array) -> Array:
+    """Masked Sobel gradient-matching L1 (loss.py:44-75). NHWC maps."""
+    res, maskf, n = _masked_residual(predicted, groundtruth, mask)
+    gx = conv2d(res, _SOBEL_X.astype(res.dtype), stride=1, padding=1)
+    gy = conv2d(res, _SOBEL_Y.astype(res.dtype), stride=1, padding=1)
+    return jnp.sum((jnp.abs(gx) + jnp.abs(gy)) * maskf) / n
+
+
+def resize_groundtruth(groundtruth: Array, mask: Array, size: Tuple[int, int]):
+    """Mask-aware bilinear GT rescale (loss.py:38).
+
+    The reference bilinearly interpolates NaN-laden GT, so any output pixel
+    whose support touches an invalid input becomes NaN (→ invalid). Here:
+    values = bilinear(gt·mask) and valid = bilinear(mask) == 1 (full valid
+    support) — identical values on the valid set, no NaNs anywhere.
+    """
+    if groundtruth.shape[1:3] == tuple(size):
+        return groundtruth, mask
+    maskf = mask.astype(groundtruth.dtype)
+    vals = bilinear_resize(groundtruth * maskf, size, align_corners=False)
+    cover = bilinear_resize(maskf, size, align_corners=False)
+    return vals, cover >= 1.0 - 1e-6
+
+
+def multiscale_scale_invariant_loss(
+    predicted: Sequence[Array], groundtruth: Array, mask: Array,
+    factors: Optional[Sequence[float]] = None,
+) -> Array:
+    """Σ_scales factor · SI(pred_s, resize(gt)) (loss.py:27-41)."""
+    factors = (1.0,) * len(predicted) if factors is None else factors
+    total = 0.0
+    for f, p in zip(factors, predicted):
+        gt_s, m_s = resize_groundtruth(groundtruth, mask, p.shape[1:3])
+        total = total + f * scale_invariant_loss(p, gt_s, m_s)
+    return total
+
+
+def multiscale_gradient_matching_loss(
+    predicted: Sequence[Array], groundtruth: Array, mask: Array,
+    factors: Optional[Sequence[float]] = None,
+) -> Array:
+    """Σ_scales factor · GM(pred_s, resize(gt)) (loss.py:78-93)."""
+    factors = (1.0,) * len(predicted) if factors is None else factors
+    total = 0.0
+    for f, p in zip(factors, predicted):
+        gt_s, m_s = resize_groundtruth(groundtruth, mask, p.shape[1:3])
+        total = total + f * gradient_matching_loss(p, gt_s, m_s)
+    return total
+
+
+def spike_penalization_loss(spike_tensors: Sequence[Array]) -> Array:
+    """Σ_tensors mean(s²)/2 — activity regularizer (loss.py:96-107)."""
+    total = 0.0
+    for s in spike_tensors:
+        total = total + jnp.sum(s * s) / (2.0 * s.size)
+    return total
+
+
+@dataclasses.dataclass(frozen=True)
+class TotalLossConfig:
+    """Defaults from loss.py:119 and train.py:128 (alpha=0.5 for metric depth)."""
+
+    alpha: float = 0.5
+    scale_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    penalize_spikes: bool = False
+    beta: float = 1.0
+
+
+def total_loss(
+    predicted: Sequence[Array],
+    groundtruth: Array,
+    mask: Array,
+    spike_tensors: Optional[Sequence[Array]] = None,
+    cfg: TotalLossConfig = TotalLossConfig(),
+) -> Array:
+    """SI + α·GM (+ β·SP) over the prediction pyramid (loss.py:126-135)."""
+    w = cfg.scale_weights[: len(predicted)]
+    out = multiscale_scale_invariant_loss(predicted, groundtruth, mask, w)
+    out = out + cfg.alpha * multiscale_gradient_matching_loss(
+        predicted, groundtruth, mask, w)
+    if cfg.penalize_spikes:
+        out = out + cfg.beta * spike_penalization_loss(spike_tensors or ())
+    return out

@@ -1,0 +1,90 @@
+"""Device-mesh parallelism (the capability the reference lacks entirely —
+single process on cuda:0, SURVEY.md §2 parallelism census).
+
+Strategy (TPU-idiomatic GSPMD):
+
+- mesh axes ``('data', 'spatial')``: batch sharded over ``data`` (the primary
+  axis — a conv U-Net is small, so DP with replicated params is the
+  production layout, and gradient all-reduce rides ICI), the H image axis
+  optionally sharded over ``spatial`` (the SP analog for resolutions/batches
+  too large per chip; XLA inserts halo exchanges for the stride-2 convs).
+- params/optimizer state replicated; jit's SPMD partitioner derives every
+  collective from these annotations — no hand-written NCCL-style calls.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stereospike_tpu.train.state import TrainState
+
+
+def make_mesh(shape: Optional[Tuple[int, int]] = None,
+              devices=None) -> Mesh:
+    """Build a ('data', 'spatial') mesh; default all devices on 'data'."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if shape is None:
+        shape = (n, 1)
+    if shape[0] * shape[1] != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, ("data", "spatial"))
+
+
+def batch_spec(spatial: bool = True) -> Dict[str, P]:
+    """PartitionSpecs for a training batch {chunks, gt, mask}."""
+    sp = "spatial" if spatial else None
+    return {
+        "chunks": P("data", None, sp, None, None),  # [B, T, H, W, C]
+        "gt": P("data", sp, None, None),            # [B, H, W, 1]
+        "mask": P("data", sp, None, None),
+    }
+
+
+def replicated_spec():
+    return P()
+
+
+def shard_batch(batch: Dict, mesh: Mesh, spatial: bool = True) -> Dict:
+    spec = batch_spec(spatial)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+        for k, v in batch.items()
+    }
+
+
+def _state_shardings(mesh: Mesh):
+    rep = NamedSharding(mesh, P())
+    return TrainState(
+        params=rep, opt_state=rep, step=rep, epoch=rep,
+        best_metric=rep, rng=rep,
+    )
+
+
+def make_sharded_train_step(step_fn, mesh: Mesh, spatial: bool = True):
+    """jit ``step_fn(state, batch)`` over the mesh: params replicated, batch
+    data(+spatial)-sharded. XLA emits the gradient all-reduce (psum over
+    'data') from the sharding annotations."""
+    spec = batch_spec(spatial)
+    batch_sh = {k: NamedSharding(mesh, v) for k, v in spec.items()}
+    state_sh = _state_shardings(mesh)
+    metrics_sh = NamedSharding(mesh, P())
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, {"loss": metrics_sh, "mde": metrics_sh}),
+    )
+
+
+def make_sharded_eval_step(eval_fn, mesh: Mesh, spatial: bool = True):
+    spec = batch_spec(spatial)
+    batch_sh = {k: NamedSharding(mesh, v) for k, v in spec.items()}
+    rep = NamedSharding(mesh, P())
+    out_sh = {"loss": rep, "mde": rep,
+              "depth": NamedSharding(mesh, spec["gt"])}
+    return jax.jit(eval_fn, in_shardings=(rep, batch_sh), out_shardings=out_sh)

@@ -1,0 +1,13 @@
+"""Training infrastructure: config, optimizer, train state, steps, loops."""
+
+from stereospike_tpu.train.config import TrainConfig  # noqa: F401
+from stereospike_tpu.train.state import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    multistep_lr_schedule,
+)
+from stereospike_tpu.train.steps import (  # noqa: F401
+    make_train_step,
+    make_eval_step,
+)

@@ -1,0 +1,67 @@
+"""Training configuration.
+
+Replaces the reference's edit-in-place module constants
+(``/root/reference/train.py:60-68``, ``test.py:36-40``) with a dataclass
+that the CLI parses from flags / JSON.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # model
+    model: str = "stereospike"        # factory name in models.factory
+    in_hw: Tuple[int, int] = (260, 346)
+    multiply_factor: float = 1.0
+    tau: float = 3.0
+    use_plif: bool = True
+
+    # data (reference train.py:60-68)
+    nfpdm: int = 1                    # frames per depth map (dt = 50/nfpdm ms)
+    n_inference: int = 1              # chunks per training sample
+    n_warmup: int = 1                 # no-grad warmup chunks (stateful models)
+    batch_size: int = 1
+    learn_on: str = "LIN"             # LIN | LOG | DISP
+    scenario: str = "indoor_flying"
+    split: str = "1"
+    data_root: str = "./datasets/MVSEC/data/"
+    normalize: bool = False
+    augment: bool = False
+
+    # optimization (train.py:126-128)
+    learning_rate: float = 2e-4
+    weight_decay: float = 0.0
+    epochs: int = 70
+    lr_milestones: Tuple[int, ...] = (8, 42, 60)
+    lr_gamma: float = 0.5
+
+    # loss (loss.py:119)
+    loss_alpha: float = 0.5
+    scale_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
+    penalize_spikes: bool = False
+    loss_beta: float = 1.0
+
+    # runtime
+    seed: int = 2021                  # train.py:53
+    compute_dtype: str = "float32"    # or "bfloat16" for MXU-speed training
+    checkpoint_dir: str = "./results/checkpoints"
+    checkpoint_every: int = 0         # extra periodic full-state ckpt (0 = off)
+    resume: bool = False
+    mesh_shape: Optional[Tuple[int, int]] = None  # (data, spatial); None = auto
+    debug_nans: bool = False
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        d = json.loads(text)
+        for key in ("in_hw", "lr_milestones", "scale_weights", "mesh_shape"):
+            if d.get(key) is not None:
+                d[key] = tuple(d[key])
+        return cls(**d)

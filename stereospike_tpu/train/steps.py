@@ -1,0 +1,111 @@
+"""Jittable train/eval step factories.
+
+One fused XLA program per step: forward (``lax.scan`` over T) → masked
+multiscale loss → BPTT grads → Adam update → MDE, mirroring the reference's
+epoch-loop body (``train.py:221-257``) but as a single compiled function.
+
+Batch convention (produced by ``stereospike_tpu.data``):
+
+    chunks: [B, T, H, W, C] float — voxelized event frames, frames within a
+            50 ms chunk channel-stacked (C = nfpdm·2·eyes; train.py:200-218)
+    gt:     [B, H, W, 1] float — label in the learned metric (LIN/LOG/DISP)
+    mask:   [B, H, W, 1] bool  — valid-pixel mask (replaces NaN GT)
+
+Mixed precision: with ``compute_dtype='bfloat16'`` the forward runs in bf16
+on the MXU (fp32 accumulation), while master params, loss and optimizer
+state stay fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stereospike_tpu.models.stereospike import StereoSpikeConfig, forward_sequence
+from stereospike_tpu.objectives.losses import TotalLossConfig, total_loss
+from stereospike_tpu.objectives.metrics import convert_to_lin, mean_depth_error
+from stereospike_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def _cast_tree(tree, dtype):
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def _loss_and_metrics(params, batch: Dict, model_cfg: StereoSpikeConfig,
+                      loss_cfg: TotalLossConfig, learn_on: str,
+                      compute_dtype, remat: bool):
+    chunks = batch["chunks"].astype(compute_dtype)
+    p = _cast_tree(params, compute_dtype) if compute_dtype != jnp.float32 else params
+    depths, spikes, _ = forward_sequence(p, chunks, model_cfg, remat=remat)
+    depths = [d.astype(jnp.float32) for d in depths]
+    spikes = [s.astype(jnp.float32) for s in spikes]
+    gt, mask = batch["gt"], batch["mask"]
+    loss = total_loss(depths, gt, mask, spikes, loss_cfg)
+    lin_pred = convert_to_lin(depths[0], learn_on)
+    lin_gt = convert_to_lin(gt, learn_on)
+    mde = mean_depth_error(lin_pred, lin_gt, mask)
+    return loss, (mde, depths[0])
+
+
+def make_train_step(
+    model_cfg: StereoSpikeConfig,
+    loss_cfg: TotalLossConfig,
+    tx: optax.GradientTransformation,
+    *,
+    learn_on: str = "LIN",
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    grad_psum_axis: Optional[str] = None,
+) -> Callable[[TrainState, Dict], tuple]:
+    """Build ``step(state, batch) -> (state, metrics)``.
+
+    ``grad_psum_axis``: inside ``shard_map``, all-reduce grads/metrics over
+    this mesh axis (data parallelism); None under plain jit/pjit where XLA's
+    SPMD partitioner inserts the collectives itself.
+    """
+
+    def step(state: TrainState, batch: Dict):
+        def loss_fn(params):
+            return _loss_and_metrics(params, batch, model_cfg, loss_cfg,
+                                     learn_on, compute_dtype, remat)
+
+        (loss, (mde, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        grads = _cast_tree(grads, jnp.float32)
+        if grad_psum_axis is not None:
+            grads = jax.lax.pmean(grads, grad_psum_axis)
+            loss = jax.lax.pmean(loss, grad_psum_axis)
+            mde = jax.lax.pmean(mde, grad_psum_axis)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(
+            params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, "mde": mde}
+
+    return step
+
+
+def make_eval_step(
+    model_cfg: StereoSpikeConfig,
+    loss_cfg: TotalLossConfig,
+    *,
+    learn_on: str = "LIN",
+    compute_dtype=jnp.float32,
+) -> Callable[[Dict, Dict], Dict]:
+    """Build ``eval_step(params, batch) -> {'loss', 'mde', 'depth'}``
+    (the reference's no-grad val/test body, train.py:275-335 / test.py:101-173)."""
+
+    def step(params: Dict, batch: Dict):
+        loss, (mde, depth) = _loss_and_metrics(
+            params, batch, model_cfg, loss_cfg, learn_on, compute_dtype, False)
+        return {"loss": loss, "mde": mde, "depth": depth}
+
+    return step

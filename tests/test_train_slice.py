@@ -1,0 +1,119 @@
+"""End-to-end vertical slice: synthetic events → model → loss → BPTT → Adam.
+
+Also exercises the multi-device path on the virtual 8-CPU mesh: data×spatial
+sharded train step (SURVEY.md §4's multi-node test recipe).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereospike_tpu.data import synthetic_batch
+from stereospike_tpu.models import init_params, stereospike_tempo
+from stereospike_tpu.objectives import TotalLossConfig
+from stereospike_tpu.parallel import make_mesh, make_sharded_train_step, shard_batch
+from stereospike_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    multistep_lr_schedule,
+)
+
+SMALL = dict(in_hw=(64, 88))
+
+
+def _setup(batch=2, lr=1e-3):
+    cfg = stereospike_tempo(**SMALL)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(lr)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    batch_data = synthetic_batch(jax.random.PRNGKey(2), batch=batch, in_hw=cfg.in_hw)
+    return cfg, tx, state, batch_data
+
+
+def test_train_step_decreases_loss():
+    cfg, tx, state, batch = _setup()
+    step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx))
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+
+
+def test_eval_step_runs():
+    cfg, _, state, batch = _setup()
+    ev = jax.jit(make_eval_step(cfg, TotalLossConfig()))
+    out = ev(state.params, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert out["depth"].shape == (2, 64, 88, 1)
+    assert float(out["mde"]) > 0
+
+
+def test_train_step_bf16_compute():
+    cfg, tx, state, batch = _setup()
+    step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx,
+                                   compute_dtype=jnp.bfloat16))
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # master params stay fp32
+    assert state2.params["bottom"]["w"].dtype == jnp.float32
+
+
+def test_remat_matches_no_remat():
+    cfg, tx, state, _ = _setup()
+    batch = synthetic_batch(jax.random.PRNGKey(3), batch=1, in_hw=cfg.in_hw, T=3)
+    s1 = jax.jit(make_train_step(cfg, TotalLossConfig(), tx, remat=False))
+    s2 = jax.jit(make_train_step(cfg, TotalLossConfig(), tx, remat=True))
+    _, m1 = s1(state, batch)
+    _, m2 = s2(state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+
+
+def test_lr_schedule_matches_multistep():
+    sched = multistep_lr_schedule(2e-4, (8, 42, 60), 0.5, steps_per_epoch=10)
+    np.testing.assert_allclose(float(sched(0)), 2e-4)
+    np.testing.assert_allclose(float(sched(79)), 2e-4)      # epoch 7
+    np.testing.assert_allclose(float(sched(80)), 1e-4)      # epoch 8 boundary
+    np.testing.assert_allclose(float(sched(425)), 5e-5)     # epoch 42+
+    np.testing.assert_allclose(float(sched(600)), 2.5e-5)   # epoch 60+
+
+
+def test_data_parallel_matches_single_device():
+    """Batch sharded over an (8,1) 'data' mesh reproduces the single-device
+    step (per-sample math is untouched; XLA inserts the gradient psum)."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    cfg, tx, state, _ = _setup(batch=8)
+    batch = synthetic_batch(jax.random.PRNGKey(4), batch=8, in_hw=cfg.in_hw)
+    step_fn = make_train_step(cfg, TotalLossConfig(), tx)
+    mesh = make_mesh((8, 1))
+    sharded = shard_batch(batch, mesh, spatial=False)
+    step = make_sharded_train_step(step_fn, mesh, spatial=False)
+    _, metrics = step(state, sharded)
+    _, ref_metrics = jax.jit(step_fn)(state, batch)
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(metrics["mde"]), float(ref_metrics["mde"]),
+                               rtol=1e-5)
+
+
+def test_spatial_sharded_train_step_runs_deterministically():
+    """data×spatial (4,2) mesh: H-axis conv halos via GSPMD. A spiking net is
+    NOT bitwise-stable under changed reduction order (threshold-boundary
+    spikes flip discretely and amplify), so the contract here is: executes,
+    finite, and deterministic across invocations — not equality with the
+    unsharded step."""
+    assert len(jax.devices()) == 8
+    cfg, tx, state, _ = _setup(batch=4)
+    mesh = make_mesh((4, 2))
+    batch = synthetic_batch(jax.random.PRNGKey(4), batch=4, in_hw=cfg.in_hw)
+    sharded = shard_batch(batch, mesh)
+    step = make_sharded_train_step(make_train_step(cfg, TotalLossConfig(), tx), mesh)
+    state1, metrics1 = step(state, sharded)
+    _, metrics2 = step(state, sharded)
+    assert np.isfinite(float(metrics1["loss"]))
+    assert float(metrics1["loss"]) == float(metrics2["loss"])
+    assert int(state1.step) == 1
