@@ -1,0 +1,168 @@
+"""ctypes bindings for the native host library (auto-built on first use).
+
+Exposes:
+
+- :func:`area_closing` — grayscale area closing (GT hole filling; the
+  reference uses skimage's, ``mvsec_dataset.py:139-141``)
+- :func:`rectify_bin_events` — fused host-side event rectification + frame
+  binning (C++ replacement for the reference's per-event Python loops)
+
+If the shared library cannot be built, pure-Python fallbacks (same
+algorithms, orders of magnitude slower) keep the pipeline functional.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libhost_ops.so")
+_lib = None
+_build_failed = False
+
+
+def _load():
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH) or (
+        os.path.getmtime(_LIB_PATH)
+        < os.path.getmtime(os.path.join(_DIR, "host_ops.cpp"))
+    ):
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            _build_failed = True
+            import warnings
+
+            warnings.warn(f"native host_ops build failed ({e}); using slow "
+                          "Python fallbacks")
+            return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.area_closing_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.rectify_bin_events_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+    ]
+    _lib = lib
+    return lib
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def area_closing(img: np.ndarray, area_threshold: int = 24) -> np.ndarray:
+    """Fill dark structures with area < ``area_threshold`` (4-connectivity)."""
+    img = np.ascontiguousarray(img, np.float32)
+    assert img.ndim == 2
+    lib = _load()
+    out = np.empty_like(img)
+    if lib is not None:
+        lib.area_closing_f32(_fptr(img), _fptr(out),
+                             img.shape[0], img.shape[1], area_threshold)
+        return out
+    return _area_closing_py(img, area_threshold)
+
+
+def _area_closing_py(img: np.ndarray, area_threshold: int) -> np.ndarray:
+    """Pure-Python Meijster–Wilkinson union-find (test fallback; slow)."""
+    h, w = img.shape
+    n = h * w
+    g = -img.reshape(-1)
+    order = np.argsort(-g, kind="stable")
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    # roots store -area in parent; processedness is detected via rank (a -k
+    # sentinel would collide with an area-k root)
+    parent = np.full(n, -1, np.int64)
+
+    def find_root(p):
+        r = p
+        while parent[r] >= 0:
+            r = parent[r]
+        while parent[p] >= 0:
+            parent[p], p = r, parent[p]
+        return r
+
+    lam = area_threshold
+    for i, p in enumerate(order):
+        parent[p] = -1
+        y, x = divmod(int(p), w)
+        for q in (p - w if y > 0 else -1, p + w if y + 1 < h else -1,
+                  p - 1 if x > 0 else -1, p + 1 if x + 1 < w else -1):
+            if q < 0 or rank[q] > i:
+                continue
+            r = find_root(q)
+            if r == p:
+                continue
+            if g[r] == g[p] or -parent[r] < lam:
+                parent[p] += parent[r]
+                parent[r] = p
+            else:
+                parent[p] = -lam
+    out = np.empty(n, np.float32)
+    flat = img.reshape(-1)
+    for p in order[::-1]:
+        out[p] = out[parent[p]] if parent[p] >= 0 else flat[p]
+    return out.reshape(h, w)
+
+
+def rectify_bin_events(
+    events: np.ndarray,
+    n_frames: int,
+    t0: float,
+    dt: float,
+    *,
+    x_map: Optional[np.ndarray] = None,
+    y_map: Optional[np.ndarray] = None,
+    height: int = 260,
+    width: int = 346,
+    polarity_mode: str = "binary",
+) -> np.ndarray:
+    """Host-path fused rectify+bin → [n_frames, H, W, 2] count frames."""
+    events = np.ascontiguousarray(events, np.float32)
+    frames = np.zeros((n_frames, height, width, 2), np.float32)
+    mode = 0 if polarity_mode == "binary" else 1
+    lib = _load()
+    if lib is not None:
+        xm = np.ascontiguousarray(x_map, np.float32) if x_map is not None else None
+        ym = np.ascontiguousarray(y_map, np.float32) if y_map is not None else None
+        lib.rectify_bin_events_f32(
+            _fptr(events), events.shape[0],
+            _fptr(xm) if xm is not None else None,
+            _fptr(ym) if ym is not None else None,
+            _fptr(frames), n_frames, height, width,
+            float(t0), float(dt), mode)
+        return frames
+    # numpy fallback
+    x, y, t, p = events[:, 0], events[:, 1], events[:, 2], events[:, 3]
+    xi, yi = x.astype(np.int64), y.astype(np.int64)
+    ok = (xi >= 0) & (xi < width) & (yi >= 0) & (yi < height)
+    if x_map is not None:
+        xr = np.where(ok, x_map[np.clip(yi, 0, height - 1), np.clip(xi, 0, width - 1)], -1)
+        yr = np.where(ok, y_map[np.clip(yi, 0, height - 1), np.clip(xi, 0, width - 1)], -1)
+        ok &= (xr >= 0) & (xr < width) & (yr >= 0) & (yr < height)
+        xi, yi = xr.astype(np.int64), yr.astype(np.int64)
+    f = np.floor((t - t0) / dt).astype(np.int64)
+    ok &= (f >= 0) & (f < n_frames)
+    if polarity_mode == "binary":
+        pol = np.where(p == 1, 0, 1)
+    else:
+        ok &= (p == 1) | (p == -1)
+        pol = np.where(p == 1, 0, 1)
+    idx = ((f * height + yi) * width + xi) * 2 + pol
+    np.add.at(frames.reshape(-1), idx[ok], 1.0)
+    return frames

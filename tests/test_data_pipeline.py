@@ -1,0 +1,204 @@
+"""Disk→device data-pipeline tests on synthetic MVSEC/DENSE fixtures,
+plus augmentation semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereospike_tpu.data import (
+    AugmentConfig,
+    augment_batch,
+    batches,
+    dense_batches,
+    load_dense,
+    load_mvsec,
+    load_sequence,
+    load_split_tables,
+    make_dense_fixture,
+    make_mvsec_fixture,
+    synthetic_batch,
+)
+
+HW = (64, 80)  # small fixture resolution for speed
+
+
+@pytest.fixture(scope="module")
+def mvsec_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mvsec"))
+    tables = make_mvsec_fixture(root, hw=HW, n_depth=12, n_events=8000)
+    return root, tables
+
+
+@pytest.fixture(scope="module")
+def dense_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dense"))
+    make_dense_fixture(root, hw=HW, n_maps=5, n_events=2000)
+    return root
+
+
+def test_split_tables_shipped():
+    t = load_split_tables()
+    assert t["splits"]["1"]["train_sequences"] == ["2", "3"]
+    assert len(t["splits"]["1"]["valid_indices"]) == 200
+    assert t["frame_ranges"]["indoor_flying"]["split1"]["indoor_flying1"] == [139, 1201]
+    # val/test of a split are disjoint
+    for s in ("1", "2", "3"):
+        v = set(t["splits"][s]["valid_indices"])
+        te = set(t["splits"][s]["test_indices"])
+        assert not (v & te)
+
+
+def test_load_sequence_shapes_and_masks(mvsec_root):
+    root, tables = mvsec_root
+    seq = load_sequence(root, "indoor_flying", "1", "1", tables=tables, hw=HW)
+    n = seq.labels.shape[0]
+    assert seq.data_left.shape == (n, 1) + HW + (2,)
+    assert seq.data_right.shape == seq.data_left.shape
+    assert seq.labels.shape == (n,) + HW + (1,)
+    assert seq.masks.dtype == bool
+    # hole filling keeps masks mostly valid; invalid only where area >= 24
+    assert seq.masks.mean() > 0.9
+    assert np.all(seq.labels[~seq.masks] == 0)
+    # events landed: every chunk has some counts
+    assert (seq.data_left.sum(axis=(1, 2, 3, 4)) > 0).all()
+    assert len(seq) == n - 2
+
+
+def test_sample_chunk_indexing(mvsec_root):
+    root, tables = mvsec_root
+    seq = load_sequence(root, "indoor_flying", "1", "1", tables=tables, hw=HW)
+    # large-index branch: gt is the chunk at absolute index off+i
+    smp = seq.sample(5)
+    off = seq.n_warmup + seq.n_train
+    np.testing.assert_array_equal(smp["gt"], seq.labels[off + 5])
+    np.testing.assert_array_equal(smp["chunks_left"][-1], seq.data_left[off + 5])
+    np.testing.assert_array_equal(smp["init_pots"], seq.labels[5 + off - 2])
+    # small-index branch (reference mvsec_dataset.py:223-232)
+    smp0 = seq.sample(0)
+    np.testing.assert_array_equal(smp0["init_pots"], seq.labels[0])
+    np.testing.assert_array_equal(smp0["gt"], seq.labels[2])
+    np.testing.assert_array_equal(smp0["chunks_left"][-1], seq.data_left[2])
+
+
+def test_load_mvsec_split_protocol(mvsec_root):
+    root, tables = mvsec_root
+    train, val, test = load_mvsec(root, split="1", tables=tables, hw=HW)
+    info = tables["splits"]["1"]
+    assert len(val) == len(info["valid_indices"])
+    assert len(test) == len(info["test_indices"])
+    assert len(train) == 2 * (12 - 2)  # two training sequences
+    t_only = load_mvsec(root, split="1", tables=tables, load_test_only=True, hw=HW)
+    assert len(t_only) == len(test)
+
+
+def test_batches_canonical_layout(mvsec_root):
+    root, tables = mvsec_root
+    _, val, _ = load_mvsec(root, split="1", tables=tables, hw=HW)
+    batch = next(batches(val, 2, include_warmup=True))
+    assert batch["chunks"].shape == (2, 1) + HW + (4,)  # 2 eyes x 1 chunk x 1 frame x 2 pol
+    assert batch["warmup"].shape == (2, 1) + HW + (4,)
+    assert batch["gt"].shape == (2,) + HW + (1,)
+    assert batch["mask"].dtype == bool
+    # channel order is eye-major: first 2 channels are left eye
+    smp = val.sample(0)
+    np.testing.assert_array_equal(batch["chunks"][0, 0, :, :, :2],
+                                  smp["chunks_left"][0, 0])
+    np.testing.assert_array_equal(batch["chunks"][0, 0, :, :, 2:],
+                                  smp["chunks_right"][0, 0])
+
+
+def test_batches_feed_train_step(mvsec_root):
+    """Disk fixture → loader → model train step end-to-end."""
+    from stereospike_tpu.models import init_params, stereospike_tempo
+    from stereospike_tpu.objectives import TotalLossConfig
+    from stereospike_tpu.train import (
+        create_train_state, make_optimizer, make_train_step)
+
+    root, tables = mvsec_root
+    train, _, _ = load_mvsec(root, split="1", tables=tables, hw=HW)
+    cfg = stereospike_tempo(in_hw=HW)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx))
+    batch = next(batches(train, 2, shuffle=True, seed=0))
+    batch = {k: v for k, v in batch.items() if k in ("chunks", "gt", "mask")}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dense_loader(dense_root):
+    ds = load_dense(dense_root, hw=HW, take_log=True)
+    assert ds.data.shape == (5, 1) + HW + (2,)
+    assert ds.labels.min() >= 0 and ds.labels.max() <= 1  # log depth in [0,1]
+    mirr = load_dense(dense_root, hw=HW, mirror_time=True)
+    assert len(mirr) == 10
+    # mirrored second half: polarity channels swapped, order reversed
+    np.testing.assert_array_equal(mirr.data[5], ds.data[4][::-1, :, :, ::-1])
+    batch = next(dense_batches(ds, 2))
+    assert batch["chunks"].shape == (2, 1) + HW + (2,)
+
+
+def test_dense_signed_polarity(dense_root):
+    ds = load_dense(dense_root, hw=HW)
+    # fixture draws p in {-1, +1}: both channels must be populated
+    assert ds.data[..., 0].sum() > 0 and ds.data[..., 1].sum() > 0
+
+
+# ------------------------------------------------------------- augmentation
+def _aug_batch():
+    b = synthetic_batch(jax.random.PRNGKey(0), batch=4, in_hw=(16, 20),
+                        channels=4, T=2)
+    b["init_pots"] = b["gt"] + 1.0
+    b["init_mask"] = b["mask"]
+    return b
+
+
+def test_hflip_applies_consistently():
+    b = _aug_batch()
+    from stereospike_tpu.data.augmentation import random_horizontal_flip
+    out = random_horizontal_flip(jax.random.PRNGKey(1), b, p=1.0)
+    np.testing.assert_array_equal(np.asarray(out["chunks"]),
+                                  np.asarray(b["chunks"][:, :, :, ::-1]))
+    np.testing.assert_array_equal(np.asarray(out["gt"]),
+                                  np.asarray(b["gt"][:, :, ::-1]))
+    out0 = random_horizontal_flip(jax.random.PRNGKey(1), b, p=0.0)
+    np.testing.assert_array_equal(np.asarray(out0["chunks"]),
+                                  np.asarray(b["chunks"]))
+
+
+def test_time_mirror_swaps_and_reverses():
+    from stereospike_tpu.data.augmentation import random_time_mirror
+    b = _aug_batch()
+    out = random_time_mirror(jax.random.PRNGKey(2), b, p=1.0, eyes=2)
+    np.testing.assert_array_equal(np.asarray(out["gt"]), np.asarray(b["init_pots"]))
+    np.testing.assert_array_equal(np.asarray(out["init_pots"]), np.asarray(b["gt"]))
+    # T reversed and per-eye channel blocks reversed
+    expect = np.asarray(b["chunks"])[:, ::-1].reshape(4, 2, 16, 20, 2, 2)[..., ::-1]
+    np.testing.assert_array_equal(np.asarray(out["chunks"]),
+                                  expect.reshape(4, 2, 16, 20, 4))
+    # involution: applying twice restores the original
+    out2 = random_time_mirror(jax.random.PRNGKey(3), out, p=1.0, eyes=2)
+    np.testing.assert_array_equal(np.asarray(out2["chunks"]), np.asarray(b["chunks"]))
+
+
+def test_event_drop_reduces_counts():
+    from stereospike_tpu.data.augmentation import random_event_drop
+    b = _aug_batch()
+    out = random_event_drop(jax.random.PRNGKey(4), b, p=1.0,
+                            min_drop_rate=0.3, max_drop_rate=0.3)
+    total0 = float(jnp.sum(b["chunks"]))
+    total1 = float(jnp.sum(out["chunks"]))
+    assert total1 < total0
+    # surviving counts unchanged (zeroed, not scaled)
+    ch0, ch1 = np.asarray(b["chunks"]), np.asarray(out["chunks"])
+    nz = ch1 != 0
+    np.testing.assert_array_equal(ch1[nz], ch0[nz])
+
+
+def test_augment_batch_jits():
+    b = _aug_batch()
+    f = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig()))
+    out = f(jax.random.PRNGKey(5), b)
+    assert out["chunks"].shape == b["chunks"].shape
