@@ -1,0 +1,129 @@
+"""Command-line interface: ``python -m stereospike_tpu.cli <command>``.
+
+Replaces the reference's edit-the-constants workflow (README: "edit them and
+adapt them to your needs"; train.py:60-68) with subcommands over a
+:class:`TrainConfig`:
+
+    train         full training run (epochs, val, best/latest checkpoints)
+    eval          offline test-set evaluation from a checkpoint
+    firing-rates  per-layer spike-density profiling (calculate_firing_rates)
+    bench         single-chip training-throughput benchmark
+
+``--synthetic`` runs any command on a generated on-disk fixture — no MVSEC
+download needed. ``--config file.json`` loads a saved config; flags override.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+from stereospike_tpu.train.config import TrainConfig
+
+
+def _add_config_flags(p: argparse.ArgumentParser) -> None:
+    defaults = TrainConfig()
+    for field in dataclasses.fields(TrainConfig):
+        name = "--" + field.name.replace("_", "-")
+        default = getattr(defaults, field.name)
+        if field.type == "bool" or isinstance(default, bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=None, metavar="BOOL")
+        elif isinstance(default, (tuple, list)) or default is None and "Tuple" in str(field.type):
+            p.add_argument(name, type=str, default=None,
+                           help="comma-separated")
+        else:
+            p.add_argument(name, type=type(default) if default is not None else str,
+                           default=None)
+
+
+def _build_config(args: argparse.Namespace) -> TrainConfig:
+    if args.config:
+        with open(args.config) as f:
+            cfg = TrainConfig.from_json(f.read())
+    else:
+        cfg = TrainConfig()
+    overrides = {}
+    for field in dataclasses.fields(TrainConfig):
+        val = getattr(args, field.name, None)
+        if val is None:
+            continue
+        default = getattr(TrainConfig(), field.name)
+        if isinstance(default, tuple) or (default is None and field.name == "mesh_shape"):
+            val = tuple(
+                int(x) if x.strip().lstrip("-").isdigit() else float(x)
+                for x in str(val).split(","))
+        elif default is None and isinstance(val, str):
+            # Optional numeric fields (e.g. multiply_factor) arrive as text
+            try:
+                val = int(val)
+            except ValueError:
+                val = float(val)
+        overrides[field.name] = val
+    return dataclasses.replace(cfg, **overrides)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="stereospike_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name, helptext in [
+        ("train", "train a model"),
+        ("eval", "evaluate a checkpoint on the test set"),
+        ("firing-rates", "profile per-layer spike densities"),
+        ("bench", "measure training throughput"),
+    ]:
+        p = sub.add_parser(name, help=helptext)
+        p.add_argument("--config", type=str, default=None,
+                       help="JSON config file (flags override)")
+        p.add_argument("--synthetic", action="store_true",
+                       help="run on a generated synthetic fixture")
+        p.add_argument("--max-steps", type=int, default=None,
+                       help="stop after N optimizer steps (smoke runs)")
+        p.add_argument("--save-config", type=str, default=None,
+                       help="write the resolved config to this path and exit")
+        _add_config_flags(p)
+
+    args = parser.parse_args(argv)
+    cfg = _build_config(args)
+
+    # persistent XLA compilation cache: repeat CLI invocations skip the
+    # multi-minute first compile of the U-Net programs
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/stereospike_tpu_xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.save_config:
+        with open(args.save_config, "w") as f:
+            f.write(cfg.to_json())
+        print(f"wrote {args.save_config}")
+        return 0
+
+    if args.command == "train":
+        from stereospike_tpu.train.loop import train_loop
+
+        summary = train_loop(cfg, synthetic=args.synthetic,
+                             max_steps=args.max_steps)
+        print(json.dumps(summary))
+    elif args.command == "eval":
+        from stereospike_tpu.train.loop import eval_loop
+
+        print(json.dumps(eval_loop(cfg, synthetic=args.synthetic)))
+    elif args.command == "firing-rates":
+        from stereospike_tpu.train.loop import firing_rates_loop
+
+        print(json.dumps(firing_rates_loop(cfg, synthetic=args.synthetic)))
+    elif args.command == "bench":
+        import bench as bench_mod  # repo-root bench.py
+
+        bench_mod.main()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

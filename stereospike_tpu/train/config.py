@@ -17,7 +17,9 @@ class TrainConfig:
     # model
     model: str = "stereospike"        # factory name in models.factory
     in_hw: Tuple[int, int] = (260, 346)
-    multiply_factor: float = 1.0
+    # None = use the model factory's default (e.g. the tempo variant's paper
+    # value 10.0); setting a value overrides it for any model
+    multiply_factor: Optional[float] = None
     tau: float = 3.0
     use_plif: bool = True
 

@@ -1,0 +1,103 @@
+"""Visualization: prediction/GT/error panels and video export.
+
+Reference ``viz.py``: a 4-panel matplotlib figure (input spike histogram
+with ON=red / OFF=blue / both=pink, prediction, ground truth, absolute
+error map), figure→numpy conversion, and PNG-folder→mp4 assembly
+(``viz.py:10-122``). Headless here (Agg backend), arrays are NHWC.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def event_frame_to_rgb(frame: np.ndarray) -> np.ndarray:
+    """2-channel event count frame [H, W, 2] → RGB uint8 (ON=red, OFF=blue,
+    both=pink; reference viz.py:44-55 / dense_dataset.py:74-97)."""
+    on = frame[..., 0] > 0
+    off = frame[..., 1] > 0
+    rgb = np.zeros(frame.shape[:2] + (3,), np.uint8)
+    rgb[on & ~off] = (255, 0, 0)
+    rgb[off & ~on] = (0, 0, 255)
+    rgb[on & off] = (255, 25, 255)
+    return rgb
+
+
+def show_learning(
+    chunk: np.ndarray,
+    prediction: np.ndarray,
+    groundtruth: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    title: str = "",
+) -> np.ndarray:
+    """Build the 4-panel figure and return it as an RGB array.
+
+    ``chunk``: [H, W, C>=2] event counts (first two channels used);
+    ``prediction``/``groundtruth``/``mask``: [H, W] or [H, W, 1].
+    """
+    pred = np.asarray(prediction).squeeze()
+    gt = np.asarray(groundtruth).squeeze()
+    m = np.ones_like(gt, bool) if mask is None else np.asarray(mask).squeeze().astype(bool)
+    err = np.where(m, np.abs(pred - gt), 0.0)
+
+    fig, axes = plt.subplots(2, 2, figsize=(10, 6))
+    fig.suptitle(title)
+    axes[0, 0].imshow(event_frame_to_rgb(np.asarray(chunk)[..., :2]))
+    axes[0, 0].set_title("input events")
+    im1 = axes[0, 1].imshow(pred, cmap="viridis")
+    axes[0, 1].set_title("prediction")
+    fig.colorbar(im1, ax=axes[0, 1], fraction=0.03)
+    im2 = axes[1, 0].imshow(np.where(m, gt, np.nan), cmap="viridis")
+    axes[1, 0].set_title("ground truth")
+    fig.colorbar(im2, ax=axes[1, 0], fraction=0.03)
+    im3 = axes[1, 1].imshow(err, cmap="magma")
+    axes[1, 1].set_title("|error|")
+    fig.colorbar(im3, ax=axes[1, 1], fraction=0.03)
+    for ax in axes.flat:
+        ax.axis("off")
+    out = fig_to_array(fig)
+    plt.close(fig)
+    return out
+
+
+def fig_to_array(fig) -> np.ndarray:
+    """Figure → RGB uint8 array (reference get_img_from_fig, viz.py:10-27)."""
+    fig.canvas.draw()
+    buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+    w, h = fig.canvas.get_width_height()
+    return buf.reshape(h, w, 4)[..., :3].copy()
+
+
+def save_panel(path: str, *args, **kwargs) -> None:
+    import cv2
+
+    img = show_learning(*args, **kwargs)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    cv2.imwrite(path, img[..., ::-1])  # RGB → BGR
+
+
+def make_video(png_paths: Sequence[str], out_path: str, fps: int = 20) -> None:
+    """Assemble PNG frames into an mp4 (reference make_vid_from_pngs,
+    viz.py:97-122; default fps = LIDAR rate)."""
+    import cv2
+
+    if not png_paths:
+        raise ValueError("no frames given")
+    first = cv2.imread(png_paths[0])
+    h, w = first.shape[:2]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    for p in png_paths:
+        frame = cv2.imread(p)
+        if frame.shape[:2] != (h, w):
+            frame = cv2.resize(frame, (w, h))
+        writer.write(frame)
+    writer.release()

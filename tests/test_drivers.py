@@ -1,0 +1,164 @@
+"""Driver-level tests: checkpoint roundtrip + exact resume, train/eval/
+firing-rate loops on synthetic data, CLI, viz."""
+
+import dataclasses
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereospike_tpu.models import init_params, stereospike_tempo
+from stereospike_tpu.train import (
+    TrainConfig,
+    create_train_state,
+    make_optimizer,
+)
+from stereospike_tpu.train.checkpoint import (
+    has_checkpoint,
+    restore_checkpoint,
+    restore_params,
+    save_checkpoint,
+)
+
+SMALL_HW = "48,64"
+
+
+def _tiny_cfg(tmp, **kw):
+    base = dict(
+        in_hw=(48, 64), batch_size=2, epochs=2, model="stereospike_tempo",
+        checkpoint_dir=os.path.join(tmp, "ckpt"), multiply_factor=10.0,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = stereospike_tempo(in_hw=(48, 64))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    state = state._replace(step=jnp.asarray(7, jnp.int32),
+                           best_metric=jnp.asarray(0.25, jnp.float32))
+    d = str(tmp_path)
+    save_checkpoint(d, state, best=True, tag="epoch_0001")
+    assert has_checkpoint(d) and has_checkpoint(d, "best.msgpack")
+    assert has_checkpoint(d, "epoch_0001.msgpack")
+
+    fresh = create_train_state(init_params(jax.random.PRNGKey(9), cfg), tx,
+                               jax.random.PRNGKey(2))
+    restored = restore_checkpoint(d, fresh)
+    assert int(restored.step) == 7
+    assert float(restored.best_metric) == 0.25
+    chex_eq = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        restored.params, state.params)
+    assert all(jax.tree.leaves(chex_eq))
+
+    p = restore_params(d, fresh.params, "best.msgpack")
+    np.testing.assert_array_equal(np.asarray(p["bottom"]["w"]),
+                                  np.asarray(state.params["bottom"]["w"]))
+    meta = json.load(open(os.path.join(d, "checkpoint_meta.json")))
+    assert meta["step"] == 7
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """One tiny synthetic training run shared by the driver tests."""
+    from stereospike_tpu.train.loop import train_loop
+
+    tmp = str(tmp_path_factory.mktemp("run"))
+    cfg = _tiny_cfg(tmp)
+    summary = train_loop(cfg, synthetic=True)
+    return cfg, summary
+
+
+def test_train_loop_synthetic(trained):
+    cfg, summary = trained
+    assert summary["epoch"] == 1
+    assert np.isfinite(summary["train_loss"])
+    assert np.isfinite(summary["val_MDE"])
+    assert summary["best_val_MDE"] <= summary["val_MDE"] + 1e-6
+    assert has_checkpoint(cfg.checkpoint_dir)
+    assert has_checkpoint(cfg.checkpoint_dir, "best.msgpack")
+    lines = open(os.path.join(cfg.checkpoint_dir,
+                              "training_metrics.jsonl")).readlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[-1])
+    assert {"train_loss", "val_MDE", "lr", "epoch"} <= set(rec)
+
+
+def test_resume_continues(trained):
+    from stereospike_tpu.train.loop import train_loop
+
+    cfg, _ = trained
+    cfg2 = dataclasses.replace(cfg, epochs=3, resume=True)
+    summary = train_loop(cfg2, synthetic=True)
+    assert summary["epoch"] == 2  # resumed at epoch 2, not 0
+
+
+def test_eval_loop(trained):
+    from stereospike_tpu.train.loop import eval_loop
+
+    cfg, _ = trained
+    out = eval_loop(cfg, synthetic=True)
+    assert np.isfinite(out["test_loss"]) and out["n_batches"] > 0
+    assert os.path.exists(os.path.join(cfg.checkpoint_dir, "test_logs.txt"))
+
+
+def test_firing_rates_loop(trained):
+    from stereospike_tpu.models.stereospike import TAP_NAMES
+    from stereospike_tpu.train.loop import firing_rates_loop
+
+    cfg, _ = trained
+    rates = firing_rates_loop(cfg, synthetic=True)
+    assert set(rates) == set(TAP_NAMES)
+    assert all(0.0 <= v <= 1.0 for v in rates.values())
+    txt = open(os.path.join(cfg.checkpoint_dir, "firing_rates_logs.txt")).read()
+    assert "mean encoder rate" in txt
+
+
+def test_cli_train_smoke(tmp_path):
+    from stereospike_tpu.cli import main
+
+    ckpt = str(tmp_path / "cli_ckpt")
+    rc = main(["train", "--synthetic", "--max-steps", "2",
+               "--in-hw", SMALL_HW, "--batch-size", "2", "--epochs", "1",
+               "--model", "stereospike_tempo", "--checkpoint-dir", ckpt])
+    assert rc == 0
+    assert has_checkpoint(ckpt)
+
+
+def test_cli_save_config(tmp_path):
+    from stereospike_tpu.cli import main
+
+    path = str(tmp_path / "cfg.json")
+    rc = main(["train", "--save-config", path, "--learning-rate", "0.001",
+               "--in-hw", SMALL_HW])
+    assert rc == 0
+    cfg = TrainConfig.from_json(open(path).read())
+    assert cfg.learning_rate == 0.001
+    assert cfg.in_hw == (48, 64)
+
+
+def test_viz_panels(tmp_path):
+    from stereospike_tpu.viz import make_video, save_panel, show_learning
+
+    chunk = np.random.default_rng(0).poisson(0.5, (32, 40, 4)).astype(np.float32)
+    pred = np.random.default_rng(1).uniform(1, 5, (32, 40, 1))
+    gt = np.random.default_rng(2).uniform(1, 5, (32, 40, 1))
+    mask = np.ones((32, 40, 1), bool)
+    img = show_learning(chunk, pred, gt, mask, title="t")
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.png")
+        save_panel(p, chunk, pred, gt, mask, title=f"frame {i}")
+        paths.append(p)
+    out = str(tmp_path / "vid.mp4")
+    make_video(paths, out, fps=5)
+    assert os.path.getsize(out) > 0
