@@ -18,6 +18,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/stereospike_tpu_xla"))
+
 
 def measure(batch: int = 16, iters: int = 20, warmup: int = 3,
             compute_dtype=jnp.bfloat16, T: int = 1) -> float:
@@ -36,23 +39,25 @@ def measure(batch: int = 16, iters: int = 20, warmup: int = 3,
     state = create_train_state(params, tx, jax.random.PRNGKey(1))
     batch_data = synthetic_batch(
         jax.random.PRNGKey(2), batch=batch, in_hw=cfg.in_hw, T=T)
+    # donate the train state: params/optimizer buffers update in place
     step = jax.jit(make_train_step(
-        cfg, TotalLossConfig(), tx, compute_dtype=compute_dtype, remat=(T > 4)))
+        cfg, TotalLossConfig(), tx, compute_dtype=compute_dtype, remat=(T > 4)),
+        donate_argnums=(0,))
 
     for _ in range(warmup):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])  # value fetch = true device sync on this backend
 
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch_data)
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
     dt = time.perf_counter() - t0
     return batch * T * iters / dt
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     fps = measure(batch=batch, iters=iters)
 

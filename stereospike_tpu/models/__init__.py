@@ -10,6 +10,7 @@ from stereospike_tpu.models.stereospike import (  # noqa: F401
     count_params,
     TAP_NAMES,
 )
+from stereospike_tpu.models.multistep import forward_multistep  # noqa: F401
 from stereospike_tpu.models.factory import (  # noqa: F401
     stereospike,
     stereospike_tempo,

@@ -95,15 +95,37 @@ def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     return (np.arange(out_size) * in_size) // out_size
 
 
+@functools.lru_cache(maxsize=None)
+def _selection_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """0/1 matrix P with P[o, i] = 1 iff source(o) == i."""
+    p = np.zeros((out_size, in_size), np.float32)
+    p[np.arange(out_size), _nearest_indices(in_size, out_size)] = 1.0
+    return p
+
+
 def nearest_upsample(x: Array, size: Tuple[int, int]) -> Array:
-    """Nearest-neighbour resize of NHWC ``x`` to spatial ``size`` (torch semantics)."""
+    """Nearest-neighbour resize of NHWC ``x`` to spatial ``size`` (torch
+    semantics: src = floor(dst·in/out)).
+
+    Implemented as matmuls against constant 0/1 selection matrices. Measured
+    on TPU this beats both a gather (slow forward, and its transpose is a
+    serialized scatter that made the backward ~30× the forward) and a
+    cumsum-based custom transpose (~3× slower still): the MXU eats the extra
+    FLOPs and the autodiff transpose is just another matmul. W-axis first —
+    it's the larger dimension, so contracting it at the lower resolution is
+    cheaper.
+    """
     h_in, w_in = x.shape[1], x.shape[2]
     h_out, w_out = size
     if (h_in, w_in) == (h_out, w_out):
         return x
-    hi = jnp.asarray(_nearest_indices(h_in, h_out))
-    wi = jnp.asarray(_nearest_indices(w_in, w_out))
-    return x[:, hi][:, :, wi]
+    if w_in != w_out:
+        pw = jnp.asarray(_selection_matrix(w_in, w_out), x.dtype)
+        x = jnp.einsum("ow,bhwc->bhoc", pw, x)
+    if h_in != h_out:
+        ph = jnp.asarray(_selection_matrix(h_in, h_out), x.dtype)
+        x = jnp.einsum("oh,bhwc->bowc", ph, x)
+    return x
 
 
 @functools.lru_cache(maxsize=None)
@@ -137,6 +159,51 @@ def bilinear_resize(x: Array, size: Tuple[int, int], *, align_corners: bool = Fa
     return x
 
 
+@functools.lru_cache(maxsize=None)
+def _shifted_selection(in_size: int, up_size: int, shift: int,
+                       out_size: int) -> np.ndarray:
+    """P[o, i] = 1 iff nearest-source(o + shift) == i on the up_size grid,
+    for o in the VALID-conv output range [0, out_size)."""
+    src = _nearest_indices(in_size, up_size)
+    p = np.zeros((out_size, in_size), np.float32)
+    p[np.arange(out_size), src[shift:shift + out_size]] = 1.0
+    return p
+
+
+def _upsample_conv_1out(x: Array, w: Array, b: Optional[Array],
+                        target_hw: Tuple[int, int]) -> Array:
+    """conv_k(nearest_upsample(x)) for C_out = 1, reassociated.
+
+    The naive order materializes a [B, target+k-1, C] tensor (for the
+    full-resolution prediction heads that is GBs of HBM traffic just to
+    collapse to one channel). Because nearest upsampling is a selection
+    matmul per axis, the composite factorizes exactly:
+
+        out = Σ_{dy,dx} Ph^{dy} · (x ⋅ w[dy,dx,:]) · (Pw^{dx})ᵀ
+
+    i.e. a 1×1 contraction to k² channels at LOW resolution, then k²
+    shifted selection upsamples of single-channel maps. ~5× fewer FLOPs and
+    no giant intermediate; bit-identical up to float reassociation.
+    """
+    k = w.shape[0]
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_t, w_t = target_hw
+    up_h, up_w = h_t + k - 1, w_t + k - 1
+    z = jnp.einsum("bhwc,ijc->bhwij", x, w[..., 0])
+    out = None
+    for dy in range(k):
+        ph = jnp.asarray(_shifted_selection(h_in, up_h, dy, h_t), x.dtype)
+        for dx in range(k):
+            pw = jnp.asarray(_shifted_selection(w_in, up_w, dx, w_t), x.dtype)
+            term = jnp.einsum("oh,bhw->bow", ph, z[:, :, :, dy, dx])
+            term = jnp.einsum("pw,bow->bop", pw, term)
+            out = term if out is None else out + term
+    out = out[..., None]
+    if b is not None:
+        out = out + b
+    return out
+
+
 def upsample_conv(
     x: Array,
     w: Array,
@@ -150,8 +217,11 @@ def upsample_conv(
     Reference ``NNConvUpsampling`` (``network/blocks.py:110-132``): resize to
     ``target + (k-1)`` then k×k VALID conv, landing exactly on ``target``.
     ``mode='bilinear'`` gives the ANN's ``BilinConvUpsampling``
-    (align_corners=True, ``blocks.py:30``).
+    (align_corners=True, ``blocks.py:30``). Single-output-channel heads take
+    the factorized path (:func:`_upsample_conv_1out`).
     """
+    if mode == "nearest" and w.shape[-1] == 1:
+        return _upsample_conv_1out(x, w, b, target_hw)
     k = w.shape[0]
     up_size = (target_hw[0] + k - 1, target_hw[1] + k - 1)
     if mode == "nearest":

@@ -41,10 +41,15 @@ def _cast_tree(tree, dtype):
 
 def _loss_and_metrics(params, batch: Dict, model_cfg: StereoSpikeConfig,
                       loss_cfg: TotalLossConfig, learn_on: str,
-                      compute_dtype, remat: bool):
+                      compute_dtype, remat: bool, multistep: bool = False):
     chunks = batch["chunks"].astype(compute_dtype)
     p = _cast_tree(params, compute_dtype) if compute_dtype != jnp.float32 else params
-    depths, spikes, _ = forward_sequence(p, chunks, model_cfg, remat=remat)
+    if multistep:
+        from stereospike_tpu.models.multistep import forward_multistep
+
+        depths, spikes, _ = forward_multistep(p, chunks, model_cfg)
+    else:
+        depths, spikes, _ = forward_sequence(p, chunks, model_cfg, remat=remat)
     depths = [d.astype(jnp.float32) for d in depths]
     spikes = [s.astype(jnp.float32) for s in spikes]
     gt, mask = batch["gt"], batch["mask"]
@@ -63,10 +68,13 @@ def make_train_step(
     learn_on: str = "LIN",
     compute_dtype=jnp.float32,
     remat: bool = False,
+    multistep: bool = False,
     grad_psum_axis: Optional[str] = None,
 ) -> Callable[[TrainState, Dict], tuple]:
     """Build ``step(state, batch) -> (state, metrics)``.
 
+    ``multistep=True`` uses the layer-major T-step forward with fused Pallas
+    neuron kernels (models/multistep.py) — the fast path for T > 1.
     ``grad_psum_axis``: inside ``shard_map``, all-reduce grads/metrics over
     this mesh axis (data parallelism); None under plain jit/pjit where XLA's
     SPMD partitioner inserts the collectives itself.
@@ -75,7 +83,7 @@ def make_train_step(
     def step(state: TrainState, batch: Dict):
         def loss_fn(params):
             return _loss_and_metrics(params, batch, model_cfg, loss_cfg,
-                                     learn_on, compute_dtype, remat)
+                                     learn_on, compute_dtype, remat, multistep)
 
         (loss, (mde, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -99,13 +107,15 @@ def make_eval_step(
     *,
     learn_on: str = "LIN",
     compute_dtype=jnp.float32,
+    multistep: bool = False,
 ) -> Callable[[Dict, Dict], Dict]:
     """Build ``eval_step(params, batch) -> {'loss', 'mde', 'depth'}``
     (the reference's no-grad val/test body, train.py:275-335 / test.py:101-173)."""
 
     def step(params: Dict, batch: Dict):
         loss, (mde, depth) = _loss_and_metrics(
-            params, batch, model_cfg, loss_cfg, learn_on, compute_dtype, False)
+            params, batch, model_cfg, loss_cfg, learn_on, compute_dtype,
+            False, multistep)
         return {"loss": loss, "mde": mde, "depth": depth}
 
     return step

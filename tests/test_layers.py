@@ -109,3 +109,48 @@ def test_conv2d_bf16_accumulates_fp32():
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.full((1, 8, 8, 4), 1.28, np.float32),
                                rtol=2e-2)
+
+
+def test_nearest_upsample_custom_vjp_matches_gather_grad():
+    """The scatter-free backward (cumsum + boundary diffs) must equal the
+    autodiff transpose of a plain gather implementation."""
+    from stereospike_tpu.nn.layers import _nearest_indices
+
+    x = jnp.asarray(_rand(2, 9, 11, 3, seed=7))
+
+    def plain_gather(x, size):
+        hi = jnp.asarray(_nearest_indices(x.shape[1], size[0]))
+        wi = jnp.asarray(_nearest_indices(x.shape[2], size[1]))
+        return x[:, hi][:, :, wi]
+
+    for size in [(20, 25), (9, 25), (4, 5)]:  # up, mixed, down
+        f1 = lambda x: jnp.sum(nearest_upsample(x, size) ** 2)
+        f2 = lambda x: jnp.sum(plain_gather(x, size) ** 2)
+        np.testing.assert_allclose(float(f1(x)), float(f2(x)), rtol=1e-6)
+        g1 = jax.grad(f1)(x)
+        g2 = jax.grad(f2)(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_conv_1out_factorized_matches_naive():
+    """The factorized C_out=1 head path must equal upsample-then-conv."""
+    from stereospike_tpu.nn.layers import _upsample_conv_1out
+
+    for k, in_hw, target in [(3, (9, 11), (20, 25)), (3, (33, 44), (65, 87)),
+                             (5, (9, 11), (20, 25))]:
+        x = jnp.asarray(_rand(2, 8, *in_hw, seed=11).transpose(0, 2, 3, 1))
+        w = jnp.asarray(_rand(1, 8, k, k, seed=12).transpose(2, 3, 1, 0))
+        b = jnp.asarray(_rand(1, seed=13))
+        up = nearest_upsample(x, (target[0] + k - 1, target[1] + k - 1))
+        naive = conv2d(up, w, b, stride=1, padding=0)
+        fast = _upsample_conv_1out(x, w, b, target)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                                   rtol=1e-4, atol=1e-5)
+        # gradients agree too
+        g1 = jax.grad(lambda x: jnp.sum(_upsample_conv_1out(x, w, b, target) ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(conv2d(
+            nearest_upsample(x, (target[0] + k - 1, target[1] + k - 1)),
+            w, b, stride=1, padding=0) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-3, atol=1e-4)

@@ -1,0 +1,128 @@
+"""Layer-major multistep forward: equivalence with the step-major scan.
+
+The network is feedforward, so layer-major execution must reproduce the
+step-major ``forward_sequence`` outputs (depths, last-step spikes, final
+state) and gradients. On CPU the Pallas kernels run in interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereospike_tpu.models import (
+    forward_multistep,
+    forward_sequence,
+    init_params,
+    init_state,
+    stereospike,
+    stereospike_tempo,
+)
+
+SMALL = dict(in_hw=(32, 44))
+
+
+def _frames(cfg, batch=2, T=3, seed=0):
+    return jax.random.poisson(
+        jax.random.PRNGKey(seed), 0.6,
+        (batch, T) + cfg.in_hw + (cfg.in_channels,)).astype(jnp.float32)
+
+
+@pytest.mark.parametrize("factory", [stereospike, stereospike_tempo])
+@pytest.mark.parametrize("T", [1, 3])
+def test_multistep_matches_stepmajor(factory, T):
+    cfg = factory(**SMALL, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    frames = _frames(cfg, T=T)
+
+    d_ref, s_ref, st_ref = forward_sequence(params, frames, cfg)
+    d_ms, s_ms, st_ms = forward_multistep(params, frames, cfg,
+                                          use_pallas=True, interpret=True)
+    for a, b in zip(d_ms, d_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    for a, b in zip(s_ms, s_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_ms["Ineurons"]),
+                               np.asarray(st_ref["Ineurons"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_ms["conv3"]),
+                               np.asarray(st_ref["conv3"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_multistep_jnp_fallback_matches():
+    cfg = stereospike_tempo(**SMALL, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    frames = _frames(cfg, T=2, seed=1)
+    d_p, _, _ = forward_multistep(params, frames, cfg, use_pallas=True,
+                                  interpret=True)
+    d_j, _, _ = forward_multistep(params, frames, cfg, use_pallas=False)
+    for a, b in zip(d_p, d_j):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_multistep_gradients_match_stepmajor():
+    cfg = stereospike_tempo(**SMALL, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    frames = _frames(cfg, batch=1, T=2, seed=2)
+
+    def loss_ref(p):
+        d, s, _ = forward_sequence(p, frames, cfg)
+        return sum(jnp.sum(x ** 2) for x in d) + 0.01 * sum(jnp.sum(x) for x in s)
+
+    def loss_ms(p):
+        d, s, _ = forward_multistep(p, frames, cfg, use_pallas=True,
+                                    interpret=True)
+        return sum(jnp.sum(x ** 2) for x in d) + 0.01 * sum(jnp.sum(x) for x in s)
+
+    np.testing.assert_allclose(float(loss_ms(params)), float(loss_ref(params)),
+                               rtol=1e-5)
+    g_ref = jax.grad(loss_ref)(params)
+    g_ms = jax.grad(loss_ms)(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_ms = dict(jax.tree_util.tree_leaves_with_path(g_ms))
+    # compare as dict keyed by path (tree structures are identical)
+    g_ms_flat = jax.tree_util.tree_leaves_with_path(g_ms)
+    for (path, a), (_, b) in zip(flat_ref, g_ms_flat):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-2, atol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_multistep_state_carry():
+    """Final state feeds a subsequent call (stateful streaming)."""
+    cfg = stereospike_tempo(**SMALL, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    f1 = _frames(cfg, T=2, seed=3)
+    f2 = _frames(cfg, T=2, seed=4)
+    # one 4-step run == two chained 2-step runs
+    d_all, _, st_all = forward_multistep(
+        params, jnp.concatenate([f1, f2], axis=1), cfg, use_pallas=False)
+    _, _, st1 = forward_multistep(params, f1, cfg, use_pallas=False)
+    d_chain, _, st2 = forward_multistep(params, f2, cfg, st1, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(d_chain[0]), np.asarray(d_all[0]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st2["Ineurons"]),
+                               np.asarray(st_all["Ineurons"]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_train_step_multistep_mode():
+    from stereospike_tpu.data import synthetic_batch
+    from stereospike_tpu.objectives import TotalLossConfig
+    from stereospike_tpu.train import (
+        create_train_state, make_optimizer, make_train_step)
+
+    cfg = stereospike_tempo(**SMALL)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    batch = synthetic_batch(jax.random.PRNGKey(2), batch=2, in_hw=cfg.in_hw, T=3)
+    # on CPU forward_multistep auto-selects the jnp fallback kernels
+    step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx, multistep=True))
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
