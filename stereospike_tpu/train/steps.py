@@ -41,15 +41,38 @@ def _cast_tree(tree, dtype):
 
 def _loss_and_metrics(params, batch: Dict, model_cfg: StereoSpikeConfig,
                       loss_cfg: TotalLossConfig, learn_on: str,
-                      compute_dtype, remat: bool, multistep: bool = False):
+                      compute_dtype, remat: bool, multistep: bool = False,
+                      use_warmup: bool = False, use_init_pots: bool = False):
     chunks = batch["chunks"].astype(compute_dtype)
     p = _cast_tree(params, compute_dtype) if compute_dtype != jnp.float32 else params
     if multistep:
-        from stereospike_tpu.models.multistep import forward_multistep
+        from stereospike_tpu.models.multistep import forward_multistep as _fwd
 
-        depths, spikes, _ = forward_multistep(p, chunks, model_cfg)
+        def fwd(x, st=None):
+            return _fwd(p, x, model_cfg, st)
     else:
-        depths, spikes, _ = forward_sequence(p, chunks, model_cfg, remat=remat)
+        def fwd(x, st=None):
+            return forward_sequence(p, x, model_cfg, st, remat=remat)
+
+    state0 = None
+    if use_warmup and "warmup" in batch:
+        # no-grad warmup inference to settle hidden state before the train
+        # chunks (the reference's stateful-model recipe, train.py:223-228)
+        warm = jax.lax.stop_gradient(batch["warmup"].astype(compute_dtype))
+        _, _, state0 = fwd(warm)
+        state0 = jax.lax.stop_gradient(state0)
+    if use_init_pots and "init_pots" in batch:
+        # seed the depth-integrator pool with the prior label
+        # (set_init_depths_potentials, SNN_models.py:247-248)
+        from stereospike_tpu.models.stereospike import init_state
+
+        if state0 is None:
+            state0 = init_state(model_cfg, chunks.shape[0], chunks.dtype)
+        state0 = dict(state0)
+        state0["Ineurons"] = jax.lax.stop_gradient(
+            batch["init_pots"].astype(compute_dtype))
+
+    depths, spikes, _ = fwd(chunks, state0)
     depths = [d.astype(jnp.float32) for d in depths]
     spikes = [s.astype(jnp.float32) for s in spikes]
     gt, mask = batch["gt"], batch["mask"]
@@ -69,6 +92,8 @@ def make_train_step(
     compute_dtype=jnp.float32,
     remat: bool = False,
     multistep: bool = False,
+    use_warmup: bool = False,
+    use_init_pots: bool = False,
     grad_psum_axis: Optional[str] = None,
 ) -> Callable[[TrainState, Dict], tuple]:
     """Build ``step(state, batch) -> (state, metrics)``.
@@ -83,7 +108,8 @@ def make_train_step(
     def step(state: TrainState, batch: Dict):
         def loss_fn(params):
             return _loss_and_metrics(params, batch, model_cfg, loss_cfg,
-                                     learn_on, compute_dtype, remat, multistep)
+                                     learn_on, compute_dtype, remat, multistep,
+                                     use_warmup, use_init_pots)
 
         (loss, (mde, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
