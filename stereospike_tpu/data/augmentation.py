@@ -20,7 +20,7 @@ Batch layout: ``chunks`` [B, T, H, W, C] with C channel-stacked eye-major
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -25,13 +25,9 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from stereospike_tpu.nn.layers import bilinear_resize, conv2d
+from stereospike_tpu.nn.layers import bilinear_resize
 
 Array = jax.Array
-
-# Sobel kernels, HWIO [3,3,1,1] (loss.py:61-65)
-_SOBEL_X = jnp.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], jnp.float32).reshape(3, 3, 1, 1)
-_SOBEL_Y = jnp.array([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], jnp.float32).reshape(3, 3, 1, 1)
 
 
 def _masked_residual(predicted: Array, groundtruth: Array, mask: Array):
@@ -49,11 +45,28 @@ def scale_invariant_loss(predicted: Array, groundtruth: Array, mask: Array) -> A
     return mse - quad
 
 
+def _sobel_shift(res: Array):
+    """Sobel x/y of [B, H, W, 1] maps via padded shifts (zero padding 1,
+    cross-correlation orientation — identical to the reference's
+    ``F.conv2d(res, sobel, padding=1)``). Shift-and-add stays on the VPU and
+    fuses; a 1-channel conv wastes 127 of 128 MXU lanes."""
+    h, w = res.shape[1], res.shape[2]
+    z = jnp.pad(res, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def sh(dy: int, dx: int) -> Array:
+        return z[:, 1 + dy:h + 1 + dy, 1 + dx:w + 1 + dx]
+
+    left = sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)
+    right = sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
+    top = sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)
+    bot = sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
+    return left - right, top - bot
+
+
 def gradient_matching_loss(predicted: Array, groundtruth: Array, mask: Array) -> Array:
     """Masked Sobel gradient-matching L1 (loss.py:44-75). NHWC maps."""
     res, maskf, n = _masked_residual(predicted, groundtruth, mask)
-    gx = conv2d(res, _SOBEL_X.astype(res.dtype), stride=1, padding=1)
-    gy = conv2d(res, _SOBEL_Y.astype(res.dtype), stride=1, padding=1)
+    gx, gy = _sobel_shift(res)
     return jnp.sum((jnp.abs(gx) + jnp.abs(gy)) * maskf) / n
 
 

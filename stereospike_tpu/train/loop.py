@@ -10,7 +10,7 @@ checkpoints, synthetic-data mode, and multi-device execution.
 from __future__ import annotations
 
 import time
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from stereospike_tpu.data import (
     batches,
     load_mvsec,
     make_mvsec_fixture,
-    synthetic_batch,
 )
 from stereospike_tpu.models import factory as model_factory
 from stereospike_tpu.models import (
@@ -46,7 +45,6 @@ from stereospike_tpu.train.checkpoint import (
 )
 from stereospike_tpu.train.config import TrainConfig
 from stereospike_tpu.train.state import (
-    TrainState,
     create_train_state,
     make_optimizer,
     multistep_lr_schedule,

@@ -10,7 +10,7 @@ PRNG key — is a single pytree, so preemption-resume is exact (see
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
