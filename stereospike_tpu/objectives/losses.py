@@ -30,18 +30,30 @@ from stereospike_tpu.nn.layers import bilinear_resize
 Array = jax.Array
 
 
-def _masked_residual(predicted: Array, groundtruth: Array, mask: Array):
+def _psum(x, axis_name):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
+def _masked_residual(predicted: Array, groundtruth: Array, mask: Array,
+                     axis_name: Optional[str] = None):
+    """Residual + GLOBAL valid count. Under ``shard_map`` data parallelism
+    (``axis_name`` set) the count is psum'd so batch-coupled statistics (n,
+    the quad term) match the single-device loss exactly — per-shard losses
+    averaged afterwards would not (n and quad are not linear in the batch).
+    """
     maskf = mask.astype(predicted.dtype)
-    n = jnp.maximum(jnp.sum(maskf), 1.0)
+    n = jnp.maximum(_psum(jnp.sum(maskf), axis_name), 1.0)
     res = (predicted - groundtruth) * maskf
     return res, maskf, n
 
 
-def scale_invariant_loss(predicted: Array, groundtruth: Array, mask: Array) -> Array:
-    """Masked scale-invariant MSE (loss.py:7-24)."""
-    res, _, n = _masked_residual(predicted, groundtruth, mask)
-    mse = jnp.sum(res * res) / n
-    quad = jnp.square(jnp.sum(res)) / (n * n)
+def scale_invariant_loss(predicted: Array, groundtruth: Array, mask: Array,
+                         axis_name: Optional[str] = None) -> Array:
+    """Masked scale-invariant MSE (loss.py:7-24). Distributed-exact when
+    ``axis_name`` names a shard_map data axis."""
+    res, _, n = _masked_residual(predicted, groundtruth, mask, axis_name)
+    mse = _psum(jnp.sum(res * res), axis_name) / n
+    quad = jnp.square(_psum(jnp.sum(res), axis_name)) / (n * n)
     return mse - quad
 
 
@@ -63,11 +75,12 @@ def _sobel_shift(res: Array):
     return left - right, top - bot
 
 
-def gradient_matching_loss(predicted: Array, groundtruth: Array, mask: Array) -> Array:
+def gradient_matching_loss(predicted: Array, groundtruth: Array, mask: Array,
+                           axis_name: Optional[str] = None) -> Array:
     """Masked Sobel gradient-matching L1 (loss.py:44-75). NHWC maps."""
-    res, maskf, n = _masked_residual(predicted, groundtruth, mask)
+    res, maskf, n = _masked_residual(predicted, groundtruth, mask, axis_name)
     gx, gy = _sobel_shift(res)
-    return jnp.sum((jnp.abs(gx) + jnp.abs(gy)) * maskf) / n
+    return _psum(jnp.sum((jnp.abs(gx) + jnp.abs(gy)) * maskf), axis_name) / n
 
 
 def resize_groundtruth(groundtruth: Array, mask: Array, size: Tuple[int, int]):
@@ -89,34 +102,39 @@ def resize_groundtruth(groundtruth: Array, mask: Array, size: Tuple[int, int]):
 def multiscale_scale_invariant_loss(
     predicted: Sequence[Array], groundtruth: Array, mask: Array,
     factors: Optional[Sequence[float]] = None,
+    axis_name: Optional[str] = None,
 ) -> Array:
     """Σ_scales factor · SI(pred_s, resize(gt)) (loss.py:27-41)."""
     factors = (1.0,) * len(predicted) if factors is None else factors
     total = 0.0
     for f, p in zip(factors, predicted):
         gt_s, m_s = resize_groundtruth(groundtruth, mask, p.shape[1:3])
-        total = total + f * scale_invariant_loss(p, gt_s, m_s)
+        total = total + f * scale_invariant_loss(p, gt_s, m_s, axis_name)
     return total
 
 
 def multiscale_gradient_matching_loss(
     predicted: Sequence[Array], groundtruth: Array, mask: Array,
     factors: Optional[Sequence[float]] = None,
+    axis_name: Optional[str] = None,
 ) -> Array:
     """Σ_scales factor · GM(pred_s, resize(gt)) (loss.py:78-93)."""
     factors = (1.0,) * len(predicted) if factors is None else factors
     total = 0.0
     for f, p in zip(factors, predicted):
         gt_s, m_s = resize_groundtruth(groundtruth, mask, p.shape[1:3])
-        total = total + f * gradient_matching_loss(p, gt_s, m_s)
+        total = total + f * gradient_matching_loss(p, gt_s, m_s, axis_name)
     return total
 
 
-def spike_penalization_loss(spike_tensors: Sequence[Array]) -> Array:
+def spike_penalization_loss(spike_tensors: Sequence[Array],
+                            axis_name: Optional[str] = None) -> Array:
     """Σ_tensors mean(s²)/2 — activity regularizer (loss.py:96-107)."""
     total = 0.0
     for s in spike_tensors:
-        total = total + jnp.sum(s * s) / (2.0 * s.size)
+        num = _psum(jnp.sum(s * s), axis_name)
+        den = 2.0 * _psum(jnp.asarray(float(s.size)), axis_name)
+        total = total + num / den
     return total
 
 
@@ -136,12 +154,18 @@ def total_loss(
     mask: Array,
     spike_tensors: Optional[Sequence[Array]] = None,
     cfg: TotalLossConfig = TotalLossConfig(),
+    axis_name: Optional[str] = None,
 ) -> Array:
-    """SI + α·GM (+ β·SP) over the prediction pyramid (loss.py:126-135)."""
+    """SI + α·GM (+ β·SP) over the prediction pyramid (loss.py:126-135).
+
+    ``axis_name``: shard_map data axis for distributed-exact statistics.
+    """
     w = cfg.scale_weights[: len(predicted)]
-    out = multiscale_scale_invariant_loss(predicted, groundtruth, mask, w)
+    out = multiscale_scale_invariant_loss(predicted, groundtruth, mask, w,
+                                          axis_name)
     out = out + cfg.alpha * multiscale_gradient_matching_loss(
-        predicted, groundtruth, mask, w)
+        predicted, groundtruth, mask, w, axis_name)
     if cfg.penalize_spikes:
-        out = out + cfg.beta * spike_penalization_loss(spike_tensors or ())
+        out = out + cfg.beta * spike_penalization_loss(spike_tensors or (),
+                                                       axis_name)
     return out

@@ -74,9 +74,14 @@ def convert_to_lin(x: Array, learn_on: str) -> Array:
     raise ValueError("learn_on must be 'LIN', 'LOG' or 'DISP'")
 
 
-def mean_depth_error(predicted: Array, groundtruth: Array, mask: Array) -> Array:
-    """Mean absolute depth residual over valid pixels (metrics.py:83-95)."""
+def mean_depth_error(predicted: Array, groundtruth: Array, mask: Array,
+                     axis_name=None) -> Array:
+    """Mean absolute depth residual over valid pixels (metrics.py:83-95).
+    ``axis_name``: psum the sums over a shard_map data axis (global MDE)."""
     mask = mask.astype(predicted.dtype)
-    n = jnp.maximum(jnp.sum(mask), 1.0)
-    res = (predicted - groundtruth) * mask
-    return jnp.sum(jnp.abs(res)) / n
+    n = jnp.sum(mask)
+    total = jnp.sum(jnp.abs((predicted - groundtruth) * mask))
+    if axis_name is not None:
+        n = jax.lax.psum(n, axis_name)
+        total = jax.lax.psum(total, axis_name)
+    return total / jnp.maximum(n, 1.0)

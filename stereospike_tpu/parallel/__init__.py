@@ -6,5 +6,6 @@ from stereospike_tpu.parallel.mesh import (  # noqa: F401
     replicated_spec,
     shard_batch,
     make_sharded_train_step,
+    make_shardmap_train_step,
     make_sharded_eval_step,
 )

@@ -81,6 +81,29 @@ def make_sharded_train_step(step_fn, mesh: Mesh, spatial: bool = True):
     )
 
 
+def make_shardmap_train_step(step_fn, mesh: Mesh):
+    """Explicit-collective data-parallel step via ``jax.shard_map``.
+
+    ``step_fn`` must be built with ``grad_psum_axis='data'`` (the in-step
+    ``pmean`` is the hand-written collective; contrast with
+    :func:`make_sharded_train_step`, where jit's GSPMD partitioner derives
+    the same all-reduce from sharding annotations alone). Both layouts are
+    provided because production debugging sometimes wants the collectives
+    visible in the program.
+    """
+    spec = batch_spec(spatial=False)
+    state_specs = TrainState(params=P(), opt_state=P(), step=P(),
+                             epoch=P(), best_metric=P(), rng=P())
+    fn = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(state_specs, spec),
+        out_specs=(state_specs, {"loss": P(), "mde": P()}),
+        check_vma=False,  # grads are pmean-replicated inside the body
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_eval_step(eval_fn, mesh: Mesh, spatial: bool = True):
     spec = batch_spec(spatial)
     batch_sh = {k: NamedSharding(mesh, v) for k, v in spec.items()}

@@ -42,7 +42,8 @@ def _cast_tree(tree, dtype):
 def _loss_and_metrics(params, batch: Dict, model_cfg: StereoSpikeConfig,
                       loss_cfg: TotalLossConfig, learn_on: str,
                       compute_dtype, remat: bool, multistep: bool = False,
-                      use_warmup: bool = False, use_init_pots: bool = False):
+                      use_warmup: bool = False, use_init_pots: bool = False,
+                      axis_name=None):
     chunks = batch["chunks"].astype(compute_dtype)
     p = _cast_tree(params, compute_dtype) if compute_dtype != jnp.float32 else params
     if multistep:
@@ -76,10 +77,10 @@ def _loss_and_metrics(params, batch: Dict, model_cfg: StereoSpikeConfig,
     depths = [d.astype(jnp.float32) for d in depths]
     spikes = [s.astype(jnp.float32) for s in spikes]
     gt, mask = batch["gt"], batch["mask"]
-    loss = total_loss(depths, gt, mask, spikes, loss_cfg)
+    loss = total_loss(depths, gt, mask, spikes, loss_cfg, axis_name)
     lin_pred = convert_to_lin(depths[0], learn_on)
     lin_gt = convert_to_lin(gt, learn_on)
-    mde = mean_depth_error(lin_pred, lin_gt, mask)
+    mde = mean_depth_error(lin_pred, lin_gt, mask, axis_name)
     return loss, (mde, depths[0])
 
 
@@ -100,24 +101,26 @@ def make_train_step(
 
     ``multistep=True`` uses the layer-major T-step forward with fused Pallas
     neuron kernels (models/multistep.py) — the fast path for T > 1.
-    ``grad_psum_axis``: inside ``shard_map``, all-reduce grads/metrics over
-    this mesh axis (data parallelism); None under plain jit/pjit where XLA's
-    SPMD partitioner inserts the collectives itself.
+    ``grad_psum_axis``: inside ``shard_map``, the loss/MDE are computed with
+    globally-psum'd sufficient statistics (exactly the single-device math)
+    and the gradients are psum'd — the hand-written collective equivalent of
+    what jit's SPMD partitioner derives from sharding annotations.
     """
 
     def step(state: TrainState, batch: Dict):
         def loss_fn(params):
             return _loss_and_metrics(params, batch, model_cfg, loss_cfg,
                                      learn_on, compute_dtype, remat, multistep,
-                                     use_warmup, use_init_pots)
+                                     use_warmup, use_init_pots,
+                                     axis_name=grad_psum_axis)
 
         (loss, (mde, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         grads = _cast_tree(grads, jnp.float32)
         if grad_psum_axis is not None:
-            grads = jax.lax.pmean(grads, grad_psum_axis)
-            loss = jax.lax.pmean(loss, grad_psum_axis)
-            mde = jax.lax.pmean(mde, grad_psum_axis)
+            # loss is already global (psum'd statistics); each shard's
+            # backward holds only its local data's gradient contribution
+            grads = jax.lax.psum(grads, grad_psum_axis)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state._replace(

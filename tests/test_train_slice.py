@@ -117,3 +117,28 @@ def test_spatial_sharded_train_step_runs_deterministically():
     assert np.isfinite(float(metrics1["loss"]))
     assert float(metrics1["loss"]) == float(metrics2["loss"])
     assert int(state1.step) == 1
+
+
+def test_shardmap_matches_gspmd():
+    """Explicit-collective shard_map step == GSPMD-annotated step == single
+    device, for pure data parallelism."""
+    from stereospike_tpu.parallel import make_shardmap_train_step
+
+    assert len(jax.devices()) == 8
+    cfg, tx, state, _ = _setup(batch=8)
+    batch = synthetic_batch(jax.random.PRNGKey(4), batch=8, in_hw=cfg.in_hw)
+    mesh = make_mesh((8, 1))
+    sharded = shard_batch(batch, mesh, spatial=False)
+
+    sm_step = make_shardmap_train_step(
+        make_train_step(cfg, TotalLossConfig(), tx, grad_psum_axis="data"), mesh)
+    st_sm, m_sm = sm_step(state, sharded)
+
+    ref_step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx))
+    st_ref, m_ref = ref_step(state, batch)
+
+    np.testing.assert_allclose(float(m_sm["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_sm["mde"]), float(m_ref["mde"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_sm.params["bottom"]["w"]),
+        np.asarray(st_ref.params["bottom"]["w"]), rtol=1e-5, atol=1e-7)
