@@ -36,7 +36,7 @@ def random_horizontal_flip(key: Array, batch: Dict, p: float = 0.5) -> Dict:
     flag = jax.random.uniform(key, (batch["gt"].shape[0],)) < p
     out = dict(batch)
     out["chunks"] = _sel(flag, batch["chunks"][:, :, :, ::-1], batch["chunks"])
-    for k in ("gt", "mask", "init_pots"):
+    for k in ("gt", "mask", "init_pots", "init_mask"):
         if k in batch:
             out[k] = _sel(flag, batch[k][:, :, ::-1], batch[k])
     if "warmup" in batch:
@@ -48,7 +48,7 @@ def random_vertical_flip(key: Array, batch: Dict, p: float = 0.5) -> Dict:
     flag = jax.random.uniform(key, (batch["gt"].shape[0],)) < p
     out = dict(batch)
     out["chunks"] = _sel(flag, batch["chunks"][:, :, ::-1], batch["chunks"])
-    for k in ("gt", "mask", "init_pots"):
+    for k in ("gt", "mask", "init_pots", "init_mask"):
         if k in batch:
             out[k] = _sel(flag, batch[k][:, ::-1], batch[k])
     if "warmup" in batch:
@@ -82,11 +82,17 @@ def random_time_mirror(key: Array, batch: Dict, p: float = 0.5,
         out["chunks"] = _sel(flag, _mirror_channels(batch["chunks"], eyes),
                              batch["chunks"])
     if "init_pots" in batch:
+        # gt and init_pots swap, so their validity masks MUST swap with them
+        # — a mirrored sample scored against the pre-swap mask trains on
+        # invalid (zero-depth) pixels of the new GT
+        if "init_mask" not in batch:
+            raise ValueError(
+                "time-mirror swaps gt<->init_pots and must swap their masks: "
+                "batches carrying init_pots must also carry init_mask")
         out["init_pots"] = _sel(flag, batch["gt"], batch["init_pots"])
         out["gt"] = _sel(flag, batch["init_pots"], batch["gt"])
-        if "init_mask" in batch:
-            out["init_mask"] = _sel(flag, batch["mask"], batch["init_mask"])
-            out["mask"] = _sel(flag, batch["init_mask"], batch["mask"])
+        out["init_mask"] = _sel(flag, batch["mask"], batch["init_mask"])
+        out["mask"] = _sel(flag, batch["init_mask"], batch["mask"])
     return out
 
 

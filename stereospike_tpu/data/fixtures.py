@@ -24,6 +24,9 @@ def make_mvsec_fixture(
     hw: Tuple[int, int] = (260, 346),
     seed: int = 0,
     rect_jitter: float = 0.5,
+    t_offset: float = 1.5061e9,
+    warmup_chunks: int = 1,
+    train_chunks: int = 1,
 ) -> Dict:
     """Write ``<root>/<scenario>/...`` hdf5 + calib maps; return mini split
     tables (usable as the ``tables=`` override of the loader)."""
@@ -45,7 +48,11 @@ def make_mvsec_fixture(
 
     for seq in sequences:
         name = f"{scenario}{seq}"
-        ts = 100.0 + np.arange(n_depth) / 20.0  # 20 Hz
+        # 20 Hz timestamps at realistic ROS-epoch magnitude (~1.5e9 s): real
+        # MVSEC stamps are epoch seconds, which float32 cannot represent at
+        # sub-second resolution — the loaders must handle the offset removal
+        # in float64, and the fixture must exercise that
+        ts = t_offset + np.arange(n_depth) / 20.0
         depth = rng.uniform(1.0, 6.0, (n_depth, h, w)).astype(np.float32)
         # punch small holes (zeros) + some NaNs, as in the real GT
         holes = rng.random((n_depth, h, w)) < 0.02
@@ -69,7 +76,7 @@ def make_mvsec_fixture(
                 ], axis=1)
                 g.create_group(side).create_dataset("events", data=ev)
 
-    n_samples = n_depth - 2  # with warmup=train=1
+    n_samples = n_depth - (warmup_chunks + train_chunks)
     tables = {
         "frame_ranges": {scenario: {
             f"split{s}": {f"{scenario}{q}": [0, n_depth] for q in sequences}

@@ -158,8 +158,13 @@ def load_sequence(
     labels = np.where(masks, labels, 0.0).astype(np.float32)
 
     with h5py.File(data_path, "r") as f:
-        ev_l = np.asarray(f["davis"]["left"]["events"], np.float32)
-        ev_r = np.asarray(f["davis"]["right"]["events"], np.float32)
+        # Keep events in float64: real MVSEC timestamps are ROS epoch seconds
+        # (~1.5e9), where float32 resolution is ~128 s — narrowing before the
+        # offset is removed would destroy the time-crop and the 50 ms binning.
+        # The voxelizer/native binners subtract the first-event offset at full
+        # precision and only then narrow to float32.
+        ev_l = np.asarray(f["davis"]["left"]["events"], np.float64)
+        ev_r = np.asarray(f["davis"]["right"]["events"], np.float64)
 
     # time-crop to the retained GT window (mvsec_dataset.py:166-167)
     t_lo, t_hi = depth_ts[0] - 0.05, depth_ts[-1]
@@ -251,7 +256,20 @@ def load_mvsec(
               tables=tables, hw=hw)
 
     valtest = load_sequence(root, scenario, split, info["valtest_sequence"], **kw)
-    test = MvsecView([valtest], [(0, i) for i in info["test_indices"]])
+
+    def _in_range(idx):
+        # the published index tables assume warmup=train=1 chunk; with longer
+        # windows the last few samples fall off the end of the sequence
+        kept = [i for i in idx if i < len(valtest)]
+        if len(kept) < len(idx):
+            import warnings
+
+            warnings.warn(f"dropped {len(idx) - len(kept)} val/test indices "
+                          "beyond the sequence end (warmup/train windows "
+                          "longer than the split tables assume)")
+        return kept
+
+    test = MvsecView([valtest], [(0, i) for i in _in_range(info["test_indices"])])
     if load_test_only:
         return test
     train_seqs = [
@@ -262,7 +280,7 @@ def load_mvsec(
         train_seqs,
         [(si, i) for si, s in enumerate(train_seqs) for i in range(len(s))],
     )
-    val = MvsecView([valtest], [(0, i) for i in info["valid_indices"]])
+    val = MvsecView([valtest], [(0, i) for i in _in_range(info["valid_indices"])])
     return train, val, test
 
 
@@ -275,22 +293,39 @@ def batches(
     seed: int = 0,
     binocular: bool = True,
     include_warmup: bool = False,
+    n_timesteps: int = 1,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batch iterator emitting the framework's canonical training batches.
 
-    Chunk frames are channel-stacked eye-major (train.py:200-218): for each
-    sample the [N_train, nfpdm, H, W, 2] chunks collapse to one T=1 frame of
-    C = eyes · N_train · nfpdm · 2 channels, ordered
+    Chunk frames are channel-stacked eye-major (train.py:200-218): each
+    sample's [N_train, nfpdm, H, W, 2] chunks are spread over
+    ``n_timesteps`` scan steps (must divide N_train; 1 = the reference's
+    single-step layout), each step carrying
+    C = eyes · (N_train/n_timesteps) · nfpdm · 2 channels ordered
     (eye, chunk, frame, polarity).
     """
     order = np.arange(len(view))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
 
+    n_train_chunks = view.sequences[0].n_train if len(view) else n_timesteps
+    if n_train_chunks % n_timesteps:
+        raise ValueError(f"n_timesteps={n_timesteps} must divide the "
+                         f"{n_train_chunks} train chunks per sample")
+    chunks_per_step = n_train_chunks // n_timesteps
+
     def stack_eye(chunks: np.ndarray) -> np.ndarray:
-        # [N, nfpdm, H, W, 2] -> [H, W, N*nfpdm*2] (chunk, frame, pol) order
+        # [N, nfpdm, H, W, 2] -> [N/npt, H, W, npt*nfpdm*2] with npt =
+        # N_train/n_timesteps chunks channel-stacked per step; warmup windows
+        # use the same npt so their per-step channel count matches the model's
         n, f, h, w, p = chunks.shape
-        return chunks.transpose(2, 3, 0, 1, 4).reshape(h, w, n * f * p)
+        if n % chunks_per_step:
+            raise ValueError(
+                f"{n} chunks do not divide into steps of {chunks_per_step}")
+        t = n // chunks_per_step
+        return (chunks.reshape(t, chunks_per_step, f, h, w, p)
+                .transpose(0, 3, 4, 1, 2, 5)
+                .reshape(t, h, w, chunks_per_step * f * p))
 
     n = len(order)
     stop = n - (n % batch_size) if drop_last else n
@@ -302,13 +337,16 @@ def batches(
             eyes = [stack_eye(smp["chunks_left"])]
             if binocular:
                 eyes.append(stack_eye(smp["chunks_right"]))
-            frames.append(np.concatenate(eyes, axis=-1)[None])  # T=1 axis
+            frames.append(np.concatenate(eyes, axis=-1))
         batch = {
             "chunks": np.stack(frames).astype(np.float32),
             "gt": np.stack([smp["gt"] for smp in samples]).astype(np.float32),
             "mask": np.stack([smp["mask"] for smp in samples]),
             "init_pots": np.stack(
                 [smp["init_pots"] for smp in samples]).astype(np.float32),
+            # init_pots' validity mask travels with it so the time-mirror
+            # augmentation can swap gt<->init_pots together with mask<->init_mask
+            "init_mask": np.stack([smp["init_mask"] for smp in samples]),
         }
         if include_warmup:
             warm = []
@@ -316,6 +354,6 @@ def batches(
                 eyes = [stack_eye(smp["warmup_left"])]
                 if binocular:
                     eyes.append(stack_eye(smp["warmup_right"]))
-                warm.append(np.concatenate(eyes, axis=-1)[None])
+                warm.append(np.concatenate(eyes, axis=-1))
             batch["warmup"] = np.stack(warm).astype(np.float32)
         yield batch

@@ -36,6 +36,26 @@ FRAME_W = 346
 LIDAR_FPS = 20.0  # ground-truth depth maps at 20 Hz (utils.py:9)
 
 
+def relativize_events(events: np.ndarray,
+                      t0: Optional[float] = None) -> Tuple[np.ndarray, float]:
+    """Remove the time offset at full precision, then narrow to float32.
+
+    Raw MVSEC timestamps are ROS epoch seconds (~1.5e9), where float32
+    resolution is ~128 s: a float32 cast before the offset removal collapses
+    a whole sequence into one or two distinct times. The reference subtracts
+    the first-spike time in float64 (``utils.py:246-249``); this helper does
+    the same and returns (float32 events with relative times, new t0 = 0.0).
+    """
+    events = np.asarray(events)
+    t0 = float(events[0, 2]) if t0 is None else float(t0)
+    out = np.empty(events.shape, np.float32)
+    out[:, 0] = events[:, 0]
+    out[:, 1] = events[:, 1]
+    out[:, 2] = (events[:, 2].astype(np.float64) - t0).astype(np.float32)
+    out[:, 3] = events[:, 3]
+    return out, 0.0
+
+
 def rectify_events(
     events: Array,
     x_map: Array,
@@ -143,10 +163,14 @@ def voxelize_sequence(
     rectification (``x_map``/``y_map``). ``t0`` defaults to the first event
     time (the reference's offset removal, utils.py:246-249).
     """
-    events = np.asarray(events, np.float32)
+    events = np.asarray(events)
+    t0 = float(events[0, 2]) if t0 is None else float(t0)
+    if events.dtype != np.float32:
+        # float64 input = raw absolute timestamps: remove the offset at full
+        # precision before narrowing (float32 input is assumed pre-relativized)
+        events, t0 = relativize_events(events, t0)
     n_frames = n_chunks * nfpdm
     dt = 1.0 / (LIDAR_FPS * nfpdm)
-    t0 = float(events[0, 2]) if t0 is None else float(t0)
     # right-size the scatter buffer: padding a short stream to a huge block
     # wastes compile time and scatter bandwidth
     if events.shape[0] < block:

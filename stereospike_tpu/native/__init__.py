@@ -133,6 +133,18 @@ def rectify_bin_events(
     polarity_mode: str = "binary",
 ) -> np.ndarray:
     """Host-path fused rectify+bin → [n_frames, H, W, 2] count frames."""
+    events = np.asarray(events)
+    if events.dtype != np.float32:
+        # float64 input = raw absolute timestamps (ROS epoch seconds, where
+        # float32 resolution is ~128 s): remove the t0 offset at full
+        # precision, then narrow (matches data/voxelizer.relativize_events)
+        ev32 = np.empty(events.shape, np.float32)
+        ev32[:, 0] = events[:, 0]
+        ev32[:, 1] = events[:, 1]
+        ev32[:, 2] = (events[:, 2].astype(np.float64) - float(t0)).astype(
+            np.float32)
+        ev32[:, 3] = events[:, 3]
+        events, t0 = ev32, 0.0
     events = np.ascontiguousarray(events, np.float32)
     frames = np.zeros((n_frames, height, width, 2), np.float32)
     mode = 0 if polarity_mode == "binary" else 1

@@ -1,6 +1,8 @@
 """Disk→device data-pipeline tests on synthetic MVSEC/DENSE fixtures,
 plus augmentation semantics."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -202,3 +204,136 @@ def test_augment_batch_jits():
     f = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig()))
     out = f(jax.random.PRNGKey(5), b)
     assert out["chunks"].shape == b["chunks"].shape
+
+
+def test_batches_time_axis(mvsec_root):
+    """n_timesteps > 1 spreads a sample's chunks over the scan-time axis:
+    step t carries chunk t's frames, channel order (eye, chunk, frame, pol)
+    preserved within each step."""
+    root, tables = mvsec_root
+    _, val, _ = load_mvsec(root, split="1", tables=tables, hw=HW,
+                           train_chunks=2, warmup_chunks=2)
+    batch = next(batches(val, 2, n_timesteps=2, include_warmup=True))
+    assert batch["chunks"].shape == (2, 2) + HW + (4,)  # T=2, C=eyes*1*1*2
+    assert batch["warmup"].shape == (2, 2) + HW + (4,)
+    smp = val.sample(0)
+    # timestep t, left eye == chunk t of the left stream
+    for t in range(2):
+        np.testing.assert_array_equal(batch["chunks"][0, t, :, :, :2],
+                                      smp["chunks_left"][t, 0])
+        np.testing.assert_array_equal(batch["chunks"][0, t, :, :, 2:],
+                                      smp["chunks_right"][t, 0])
+    # channel-stacked layout (n_timesteps=1) is the same data reordered
+    flat = next(batches(val, 2, n_timesteps=1))
+    assert flat["chunks"].shape == (2, 1) + HW + (8,)
+    np.testing.assert_array_equal(flat["chunks"][0, 0, :, :, :2],
+                                  batch["chunks"][0, 0, :, :, :2])
+
+
+def test_time_mirror_requires_init_mask():
+    from stereospike_tpu.data.augmentation import random_time_mirror
+    b = _aug_batch()
+    del b["init_mask"]
+    with pytest.raises(ValueError, match="init_mask"):
+        random_time_mirror(jax.random.PRNGKey(0), b, p=1.0, eyes=2)
+
+
+def test_batches_emit_init_mask_and_mirror_swaps_it(mvsec_root):
+    """A force-mirrored loader batch must carry the swapped validity mask
+    (the mask belongs to the GT, and the GT becomes init_pots)."""
+    from stereospike_tpu.data.augmentation import random_time_mirror
+
+    root, tables = mvsec_root
+    _, val, _ = load_mvsec(root, split="1", tables=tables, hw=HW)
+    batch = next(batches(val, 2))
+    assert "init_mask" in batch and batch["init_mask"].dtype == bool
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    out = random_time_mirror(jax.random.PRNGKey(0), jb, p=1.0, eyes=2)
+    np.testing.assert_array_equal(np.asarray(out["gt"]), batch["init_pots"])
+    np.testing.assert_array_equal(np.asarray(out["mask"]), batch["init_mask"])
+    np.testing.assert_array_equal(np.asarray(out["init_mask"]), batch["mask"])
+
+
+def test_published_hdf5_schema(tmp_path):
+    """Loader conformance against the *published* MVSEC hdf5 layout
+    (davis/{left,right}/events [N,4] float64 epoch-seconds;
+    davis/left/depth_image_rect [T,H,W] float32 with NaN holes;
+    depth_image_rect_ts [T] float64; calib maps via np.loadtxt) —
+    written here with raw h5py, independent of our fixture generator
+    (reference reader: mvsec_dataset.py:123-135, utils.py:13-29)."""
+    import h5py
+
+    h, w, T = 40, 52, 8
+    root = str(tmp_path)
+    scen = os.path.join(root, "indoor_flying")
+    calib = os.path.join(scen, "indoor_flying_calib")
+    os.makedirs(calib)
+    rng = np.random.default_rng(3)
+    for side in ("left", "right"):
+        np.savetxt(os.path.join(calib, f"indoor_flying_{side}_x_map.txt"),
+                   np.tile(np.arange(w, dtype=np.float64), (h, 1)))
+        np.savetxt(os.path.join(calib, f"indoor_flying_{side}_y_map.txt"),
+                   np.tile(np.arange(h, dtype=np.float64)[:, None], (1, w)))
+    ts = 1.504645e9 + np.arange(T) / 20.0  # epoch seconds, 20 Hz
+    depth = rng.uniform(1, 8, (T, h, w)).astype(np.float32)
+    depth[0, :6, :6] = np.nan  # real GT carries NaN holes (36 px ≥ the
+    # area-closing threshold 24, so this one must stay invalid)
+    with h5py.File(os.path.join(scen, "indoor_flying1_gt.hdf5"), "w") as f:
+        g = f.create_group("davis").create_group("left")
+        g.create_dataset("depth_image_rect", data=depth, dtype="f4")
+        g.create_dataset("depth_image_rect_ts", data=ts, dtype="f8")
+    with h5py.File(os.path.join(scen, "indoor_flying1_data.hdf5"), "w") as f:
+        g = f.create_group("davis")
+        for side in ("left", "right"):
+            n = 4000
+            ev = np.stack([
+                rng.integers(0, w, n).astype(np.float64),
+                rng.integers(0, h, n).astype(np.float64),
+                np.sort(rng.uniform(ts[0] - 0.05, ts[-1], n)),
+                rng.choice([-1.0, 1.0], n),  # real polarity is ±1
+            ], axis=1)
+            g.create_group(side).create_dataset("events", data=ev, dtype="f8")
+    tables = {"frame_ranges": {"indoor_flying":
+                               {"split1": {"indoor_flying1": [0, T]}}}}
+    seq = load_sequence(root, "indoor_flying", "1", "1", tables=tables,
+                        hw=(h, w))
+    assert seq.labels.shape == (T, h, w, 1)
+    assert seq.data_left.shape == (T, 1, h, w, 2)
+    assert not seq.masks[0, 0, 0, 0]          # NaN hole → invalid
+    assert seq.data_left.sum() > 0 and seq.data_right.sum() > 0
+    # events spread across chunks, not collapsed into bin 0 (the float32
+    # epoch-timestamp failure mode)
+    per_chunk = seq.data_left.sum(axis=(1, 2, 3, 4))
+    assert (per_chunk[1:] > 0).any() and per_chunk.max() < seq.data_left.sum()
+
+
+def test_epoch_scale_timestamps_survive_voxelization():
+    """Raw float64 ROS-epoch timestamps (~1.5e9 s, float32 resolution 128 s)
+    must bin identically to the same stream with relative times — both
+    through the device voxelizer and the native host path."""
+    from stereospike_tpu.data.voxelizer import voxelize_sequence
+    from stereospike_tpu.native import rectify_bin_events
+
+    rng = np.random.default_rng(0)
+    n, n_chunks, hw = 5000, 8, (32, 40)
+    t_rel = np.sort(rng.uniform(0.0, n_chunks / 20.0, n))
+    ev_rel = np.stack([
+        rng.integers(0, hw[1], n).astype(np.float64),
+        rng.integers(0, hw[0], n).astype(np.float64),
+        t_rel,
+        rng.choice([0.0, 1.0], n),
+    ], axis=1)
+    ev_abs = ev_rel.copy()
+    ev_abs[:, 2] += 1.5061e9  # ROS epoch offset
+
+    ref = voxelize_sequence(ev_rel.astype(np.float32), n_chunks,
+                            height=hw[0], width=hw[1])
+    got = voxelize_sequence(ev_abs, n_chunks, height=hw[0], width=hw[1])
+    np.testing.assert_array_equal(got, ref)
+    # distinct, non-degenerate binning (the float32 failure collapses
+    # everything into one or two frames)
+    assert (got.sum(axis=(1, 2, 3, 4)) > 0).all()
+
+    host = rectify_bin_events(ev_abs, n_chunks, float(ev_abs[0, 2]), 1 / 20.0,
+                              height=hw[0], width=hw[1])
+    np.testing.assert_array_equal(host.reshape(ref.shape), ref)
