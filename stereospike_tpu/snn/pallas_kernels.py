@@ -82,12 +82,22 @@ def _fwd_kernel(x_ref, v0_ref, leak_ref, spikes_ref, vT_ref, *, T, v_th,
 
 
 def _bwd_kernel(x_ref, v0_ref, leak_ref, gs_ref, gvT_ref,
-                gx_ref, gv0_ref, gleak_ref, h_scratch,
-                *, T, v_th, v_reset, surrogate, alpha, plif, is_if):
+                gx_ref, gv0_ref, gleak_ref, h_scratch, *scratch,
+                **meta):
+    T, v_th, v_reset = meta["T"], meta["v_th"], meta["v_reset"]
+    surrogate, alpha = meta["surrogate"], meta["alpha"]
+    plif, is_if = meta["plif"], meta["is_if"]
+    # PLIF needs v_{t-1} in the backward walk; replaying it forward into a
+    # second scratch avoids the algebraic inversion (h - leak·x)/(1 - leak),
+    # which divides by zero as leak = sigmoid(w) → 1 (tau → 1, reachable
+    # since w is trained)
+    v_scratch = scratch[0] if plif else None
     leak = leak_ref[0, 0]
-    # forward replay: store h_t (fp32 scratch)
+    # forward replay: store h_t (and v_{t-1} for PLIF) in fp32 scratch
     v = v0_ref[0].astype(jnp.float32)
     for t in range(T):
+        if plif:
+            v_scratch[t] = v
         h = _charge(v, x_ref[t].astype(jnp.float32), leak, is_if)
         h_scratch[t] = h
         s = (h - v_th >= 0).astype(jnp.float32)
@@ -95,8 +105,6 @@ def _bwd_kernel(x_ref, v0_ref, leak_ref, gs_ref, gvT_ref,
     # backward walk
     gv = gvT_ref[0].astype(jnp.float32)
     gleak = jnp.zeros_like(gv)
-    # reconstruct v_{t-1} on the fly: v_{t-1} for step t is the post-reset
-    # value from step t-1; recompute backwards from h via the reset formula
     for t in range(T - 1, -1, -1):
         h = h_scratch[t]
         s = (h - v_th >= 0).astype(jnp.float32)
@@ -112,14 +120,8 @@ def _bwd_kernel(x_ref, v0_ref, leak_ref, gs_ref, gvT_ref,
             gv = dh * (1.0 - leak)
         gx_ref[t] = dx.astype(gx_ref.dtype)
         if plif:
-            # x_t - v_{t-1}: recover v_{t-1} from h_t: h = v + (x-v)·leak →
-            # (x - v) = (h - v)/leak... avoid division: v_{t-1} from replay
-            # is cheaper to recompute forward; instead use identity
-            # x_t - v_{t-1} = (h_t - v_{t-1}) / leak, and
-            # v_{t-1} = (h_t - leak·x_t) / (1 - leak)
-            xt = x_ref[t].astype(jnp.float32)
-            v_prev = (h - leak * xt) / (1.0 - leak)
-            gleak = gleak + dh * (xt - v_prev)
+            # ∂h/∂leak = x_t - v_{t-1}, with v_{t-1} from the replay scratch
+            gleak = gleak + dh * (x_ref[t].astype(jnp.float32) - v_scratch[t])
     gv0_ref[0] = gv.astype(gv0_ref.dtype)
     gleak_ref[0] = gleak.astype(gleak_ref.dtype)
 
@@ -237,7 +239,8 @@ def _ms_bwd(v_th, v_reset, surrogate, alpha, plif, interpret, is_if, res,
             jax.ShapeDtypeStruct((1, R, LANE), x.dtype),
             jax.ShapeDtypeStruct((1, R, LANE), x.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((T, TILE_ROWS, LANE), jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM((T, TILE_ROWS, LANE), jnp.float32)] * (2 if plif else 1)),
         interpret=interpret,
     )(x3, v03, leak2, gs3, gvT3)
     gx = gx.reshape(T, R * LANE)[:, :M]

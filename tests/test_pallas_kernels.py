@@ -89,6 +89,43 @@ def test_padding_path():
     np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r), rtol=1e-6)
 
 
+@pytest.mark.parametrize("tau", [1.0, 1.0 + 1e-6, 1.0005])
+def test_plif_gradient_finite_at_leak_one(tau):
+    """leak = sigmoid(w) → 1 (tau → 1): the old backward inverted the charge
+    as (h − leak·x)/(1 − leak), dividing by zero. v_prev now comes from the
+    replay scratch, so the gradient must stay finite and match the oracle."""
+    x, v0 = _data(T=4, M=256, seed=5)
+    leak = jnp.asarray(1.0 / tau, jnp.float32)
+
+    def loss_k(x, v0, leak):
+        s, vT = multistep_fire(x, v0, leak, 1.0, 0.0, "atan", 2.0, True, True)
+        return jnp.sum(s) + jnp.sum(vT ** 2)
+
+    def loss_r(x, v0, leak):
+        s, vT = multistep_fire_reference(x, v0, leak, 1.0, 0.0, "atan", 2.0)
+        return jnp.sum(s) + jnp.sum(vT ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, v0, leak)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, v0, leak)
+    for a, b in zip(gk, gr):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_boundary_shapes_long_t_and_small_m():
+    # huge T and M < 128 (single partial lane tile)
+    for T, M in ((32, 96), (2, 50)):
+        x, v0 = _data(T=T, M=M, seed=6)
+        leak = jnp.asarray(0.5)
+        s_k, v_k = multistep_fire(x, v0, leak, 1.0, 0.0, "atan", 2.0, True,
+                                  True)
+        s_r, v_r = multistep_fire_reference(x, v0, leak)
+        np.testing.assert_array_equal(np.asarray(s_k), np.asarray(s_r))
+        np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_matches_stepwise_neuron_cells():
     """Kernel semantics == the step-major cells in snn.neurons."""
     from stereospike_tpu.snn.neurons import lif_step
