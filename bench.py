@@ -5,6 +5,12 @@ Metric: event frames/sec/chip through the FULL training step (forward over
 T timesteps + BPTT + Adam update) of the flagship binocular StereoSpike at
 the reference resolution 260×346 (BASELINE.json north-star metric).
 
+Besides the headline T=1 number, measures the T>1 temporal paths: the
+step-major ``lax.scan`` forward vs the layer-major fused-Pallas multistep
+path (``models/multistep.py`` — the TPU analog of SpikingJelly's CUDA
+multi-step neurons, the reference stack's only native acceleration,
+``/root/reference/README.md:42-44``).
+
 ``vs_baseline`` compares against the reference implementation measured on
 the hardware available to it here (torch CPU, batch 1 — the reference's own
 configuration, train.py:63); see ``benchmarks/reference_torch_baseline.py``.
@@ -23,7 +29,8 @@ jax.config.update("jax_compilation_cache_dir",
 
 
 def measure(batch: int = 16, iters: int = 20, warmup: int = 3,
-            compute_dtype=jnp.bfloat16, T: int = 1) -> float:
+            compute_dtype=jnp.bfloat16, T: int = 1,
+            multistep: bool = False) -> float:
     from stereospike_tpu.data import synthetic_batch
     from stereospike_tpu.models import init_params, stereospike
     from stereospike_tpu.objectives import TotalLossConfig
@@ -41,7 +48,8 @@ def measure(batch: int = 16, iters: int = 20, warmup: int = 3,
         jax.random.PRNGKey(2), batch=batch, in_hw=cfg.in_hw, T=T)
     # donate the train state: params/optimizer buffers update in place
     step = jax.jit(make_train_step(
-        cfg, TotalLossConfig(), tx, compute_dtype=compute_dtype, remat=(T > 4)),
+        cfg, TotalLossConfig(), tx, compute_dtype=compute_dtype,
+        multistep=multistep, remat=(T > 4 and not multistep)),
         donate_argnums=(0,))
 
     for _ in range(warmup):
@@ -59,7 +67,15 @@ def measure(batch: int = 16, iters: int = 20, warmup: int = 3,
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t_multi = int(os.environ.get("BENCH_T", "5"))
+    # B·T = 80 frames in flight: the step-major scan stores O(T) membrane
+    # carries for BPTT, which bounds the batch on a 16 GB chip
+    batch_multi = int(os.environ.get("BENCH_BATCH_T", "16"))
     fps = measure(batch=batch, iters=iters)
+    fps_t_scan = measure(batch=batch_multi, iters=iters, T=t_multi,
+                         multistep=False)
+    fps_t_ms = measure(batch=batch_multi, iters=iters, T=t_multi,
+                       multistep=True)
 
     baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
@@ -72,6 +88,10 @@ def main():
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 2) if baseline else None,
+        "t1_scan_fps": round(fps, 2),
+        f"t{t_multi}_scan_fps": round(fps_t_scan, 2),
+        f"t{t_multi}_multistep_fps": round(fps_t_ms, 2),
+        "multistep_speedup": round(fps_t_ms / fps_t_scan, 3),
     }))
 
 

@@ -20,24 +20,48 @@ import dataclasses
 import json
 import os
 import sys
+import typing
 
 from stereospike_tpu.train.config import TrainConfig
 
 
+def _parse_bool(s: str) -> bool:
+    return s.lower() in ("1", "true", "yes")
+
+
+def _flag_parser(tp):
+    """argparse ``type=`` callable for a (possibly Optional/Tuple) annotation.
+
+    Works from the *resolved* type objects (typing.get_type_hints), not the
+    stringified annotations, so new config fields parse correctly by
+    construction."""
+    origin = typing.get_origin(tp)
+    if origin is typing.Union:  # Optional[X] → X
+        args = [a for a in typing.get_args(tp) if a is not type(None)]
+        if len(args) != 1:
+            raise TypeError(f"unsupported Union annotation {tp}")
+        tp = args[0]
+        origin = typing.get_origin(tp)
+    if tp is bool:
+        return _parse_bool, "BOOL"
+    if origin is tuple:
+        elem = typing.get_args(tp)[0]
+
+        def parse_tuple(s: str, elem=elem):
+            return tuple(elem(x) for x in s.split(","))
+
+        return parse_tuple, "X,Y,..."
+    if tp in (int, float, str):
+        return tp, None
+    raise TypeError(f"unsupported config annotation {tp}")
+
+
 def _add_config_flags(p: argparse.ArgumentParser) -> None:
-    defaults = TrainConfig()
+    hints = typing.get_type_hints(TrainConfig)
     for field in dataclasses.fields(TrainConfig):
-        name = "--" + field.name.replace("_", "-")
-        default = getattr(defaults, field.name)
-        if field.type == "bool" or isinstance(default, bool):
-            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
-                           default=None, metavar="BOOL")
-        elif isinstance(default, (tuple, list)) or default is None and "Tuple" in str(field.type):
-            p.add_argument(name, type=str, default=None,
-                           help="comma-separated")
-        else:
-            p.add_argument(name, type=type(default) if default is not None else str,
-                           default=None)
+        parser, metavar = _flag_parser(hints[field.name])
+        p.add_argument("--" + field.name.replace("_", "-"), type=parser,
+                       default=None, metavar=metavar)
 
 
 def _build_config(args: argparse.Namespace) -> TrainConfig:
@@ -46,23 +70,11 @@ def _build_config(args: argparse.Namespace) -> TrainConfig:
             cfg = TrainConfig.from_json(f.read())
     else:
         cfg = TrainConfig()
-    overrides = {}
-    for field in dataclasses.fields(TrainConfig):
-        val = getattr(args, field.name, None)
-        if val is None:
-            continue
-        default = getattr(TrainConfig(), field.name)
-        if isinstance(default, tuple) or (default is None and field.name == "mesh_shape"):
-            val = tuple(
-                int(x) if x.strip().lstrip("-").isdigit() else float(x)
-                for x in str(val).split(","))
-        elif default is None and isinstance(val, str):
-            # Optional numeric fields (e.g. multiply_factor) arrive as text
-            try:
-                val = int(val)
-            except ValueError:
-                val = float(val)
-        overrides[field.name] = val
+    overrides = {
+        field.name: getattr(args, field.name)
+        for field in dataclasses.fields(TrainConfig)
+        if getattr(args, field.name, None) is not None
+    }
     return dataclasses.replace(cfg, **overrides)
 
 

@@ -7,10 +7,22 @@ each layer processes all T timesteps before the next layer starts. That is
 the execution model behind SpikingJelly's CUDA multi-step neurons (the
 reference stack's native fast path); here it becomes:
 
-- every conv batches over B·T merged samples (bigger MXU matmuls), and
-- each neuron site runs ONE fused Pallas kernel over its T-step recurrence
-  (membrane potential stays in VMEM; see ``snn/pallas_kernels.py``), with
-  the pure-jnp scan as fallback/oracle.
+- every conv batches over B·T merged samples (bigger MXU matmuls — measured
+  ~1.4× faster than the per-step convs of the scan on a v5e), and
+- each neuron site runs its T-step recurrence layer-locally, in one of two
+  implementations selected by ``use_pallas``:
+
+  * default (False): a statically unrolled recurrence in the conv's NATIVE
+    [T·B, h, w, c] layout — slicing the leading axis is layout-free, so XLA
+    fuses each step's charge→fire→reset chain into the neighbouring conv
+    fusions with ZERO extra HBM round-trips. Measured fastest on TPU.
+  * ``use_pallas=True``: the fused Pallas kernel (``snn/pallas_kernels.py``,
+    membrane potential resident in VMEM across all T steps). The kernel
+    itself streams at ~350 GB/s, but it is an opaque custom call, so XLA
+    must materialize [T·B,h,w,c] ↔ [T,M] relayout copies around every site
+    (~3× the kernel's own time at T=5) — kept for long-T regimes where an
+    unrolled chain bloats the HLO, and as a second independent
+    implementation for parity testing.
 
 Outputs match ``forward_sequence`` (last-step depths/spikes + final state);
 the depth-integrator pool accumulates over heads within a step and across
@@ -26,11 +38,9 @@ import jax.numpy as jnp
 
 from stereospike_tpu.models.stereospike import StereoSpikeConfig, init_state
 from stereospike_tpu.nn.blocks import connect, conv_scale, upsample_conv_scale
-from stereospike_tpu.snn.neurons import plif_tau_from_w  # noqa: F401  (docs)
-from stereospike_tpu.snn.pallas_kernels import (
-    multistep_fire,
-    multistep_fire_reference,
-)
+from stereospike_tpu.snn.neurons import if_step, lif_step, plif_step
+from stereospike_tpu.snn.pallas_kernels import multistep_fire
+from stereospike_tpu.snn.surrogate import make_spike_fn
 
 Array = jax.Array
 
@@ -56,11 +66,27 @@ def forward_multistep(
     """``frames`` [B, T, H, W, C] → (depths, spikes, final_state), matching
     ``forward_sequence``'s last-step outputs.
 
-    ``use_pallas=None`` auto-selects: fused kernels on TPU backends, the
-    pure-jnp scan elsewhere (CPU tests/fallback).
+    ``use_pallas``: False/None (default) runs each site's recurrence as a
+    statically unrolled chain in the conv's native layout (the measured fast
+    path — see module docstring); True routes every site through the fused
+    Pallas VMEM kernel.
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+    use_pallas = bool(use_pallas)
+    if use_pallas:
+        # the fused kernels implement exactly the default semantics (hard
+        # reset to 0, detached reset, charge h = v + (x-v)·leak); other
+        # configs would silently diverge from forward_sequence — refuse.
+        # The unrolled path reuses the snn.neurons cells and supports all
+        # configurations.
+        if not cfg.detach_reset:
+            raise NotImplementedError(
+                "use_pallas=True requires detach_reset=True (the kernel "
+                "always detaches the reset); use the default unrolled path")
+        if cfg.v_reset != 0.0:
+            raise NotImplementedError(
+                f"use_pallas=True requires v_reset=0.0, got {cfg.v_reset!r} "
+                "(the kernel's hard reset and LIF/PLIF charge assume a zero "
+                "rest potential); use the default unrolled path")
     B, T = frames.shape[:2]
     if state is None:
         state = init_state(cfg, B, frames.dtype)
@@ -68,12 +94,40 @@ def forward_multistep(
     ms = cfg.multiply_factor if not cfg.learnable_multiply else 1.0
     sizes = cfg.sizes
 
-    def fire(site: str, x_tb: Array) -> Array:
-        """x_tb: [T·B, h, w, c] charges (T-major merge) → spikes.
+    spike_enc = make_spike_fn(cfg.surrogate, cfg.surrogate_alpha)
+    spike_sew = make_spike_fn(cfg.sew_surrogate, cfg.sew_surrogate_alpha)
 
-        Everything inside the layer-major forward stays T-major so the
-        [T·B, ...] ↔ [T, B·h·w·c] reshapes around convs and kernels are
-        free (no transposes — the data layout never changes)."""
+    def fire_unrolled(site: str, x_tb: Array) -> Array:
+        """Statically unrolled T-step recurrence in the conv's own layout.
+
+        [T·B, h, w, c] → [T, B, h, w, c] is a leading-axis split (no
+        physical relayout), each x5[t] slice is free, and every step's
+        charge→fire→reset is a fusable elementwise chain — XLA folds them
+        into the surrounding conv fusions, so the recurrence adds no HBM
+        round-trips. Reuses the exact snn.neurons cell semantics."""
+        in_sew = site.startswith("sew")
+        kind = cfg.effective_sew_neuron if in_sew else cfg.neuron
+        kw = dict(v_threshold=cfg.v_threshold, v_reset=cfg.v_reset,
+                  spike_fn=spike_sew if in_sew else spike_enc,
+                  detach_reset=cfg.detach_reset)
+        x5 = x_tb.reshape((T, B) + x_tb.shape[1:])
+        v = state[site].astype(x_tb.dtype)
+        outs = []
+        for t in range(T):
+            if kind == "if":
+                v, s_t = if_step(v, x5[t], **kw)
+            elif kind == "lif":
+                v, s_t = lif_step(v, x5[t], tau=cfg.tau, **kw)
+            else:
+                v, s_t = plif_step(v, x5[t], params["plif"][site], **kw)
+            outs.append(s_t)
+        new_state[site] = v
+        return jnp.stack(outs).reshape(x_tb.shape)
+
+    def fire_pallas(site: str, x_tb: Array) -> Array:
+        """One fused VMEM kernel over the whole T-step recurrence
+        (snn/pallas_kernels.py); pays [T·B,h,w,c] ↔ [T,M] relayouts at the
+        custom-call boundary."""
         tb, h, w, c = x_tb.shape
         leak, is_plif, is_if = _leak_for(site, params, cfg)
         sur = cfg.sew_surrogate if site.startswith("sew") else cfg.surrogate
@@ -82,13 +136,14 @@ def forward_multistep(
         alpha = (2.0 if sur == "atan" else 4.0) if alpha_cfg is None else alpha_cfg
         x_t = x_tb.reshape(T, -1)
         v0 = state[site].astype(x_tb.dtype).reshape(-1)
-        fn = multistep_fire if use_pallas else multistep_fire_reference
-        kw = dict() if not use_pallas else dict(interpret=interpret, is_if=is_if)
-        spikes, vT = fn(x_t, v0, leak.astype(x_tb.dtype),
-                        cfg.v_threshold, 0.0 if cfg.v_reset is None else cfg.v_reset,
-                        sur, alpha, is_plif, **kw)
+        spikes, vT = multistep_fire(
+            x_t, v0, leak.astype(x_tb.dtype), cfg.v_threshold,
+            0.0 if cfg.v_reset is None else cfg.v_reset,
+            sur, alpha, is_plif, interpret, is_if)
         new_state[site] = vT.reshape(state[site].shape)
         return spikes.reshape(tb, h, w, c)
+
+    fire = fire_pallas if use_pallas else fire_unrolled
 
     # one transpose in: [B, T, ...] → [T·B, ...]; all internal layouts T-major
     x = jnp.swapaxes(frames, 0, 1).reshape((T * B,) + frames.shape[2:])

@@ -309,21 +309,25 @@ def forward_sequence(
     (``SNN_models.py:22-48``). ``remat=True`` rematerializes each timestep in
     the backward pass (memory ∝ O(1) instead of O(T) activations).
     """
+    B, T = frames.shape[:2]
     if state is None:
-        state = init_state(cfg, frames.shape[0], frames.dtype)
+        state = init_state(cfg, B, frames.dtype)
 
-    def step(carry, frame):
-        depths, spikes, new_state = forward(params, frame, cfg, carry)
-        return new_state, (depths, spikes)
+    # Only the LAST step's outputs are consumed, so the scan covers steps
+    # 0..T-2 carrying just the membrane state (no per-step output stacking —
+    # stacking T copies of the full-resolution depth/spike tensors was the
+    # dominant memory term and OOM'd long-T training); the final step runs
+    # outside the scan and produces the returned depths/spikes.
+    if T > 1:
+        def step(st, frame):
+            _, _, new_state = forward(params, frame, cfg, st)
+            return new_state, None
 
-    if remat:
-        step = jax.checkpoint(step)
-
-    frames_t = jnp.moveaxis(frames, 1, 0)  # [T, B, H, W, C]
-    final_state, (depths_seq, spikes_seq) = jax.lax.scan(step, state, frames_t)
-    depths = [d[-1] for d in depths_seq]
-    spikes = [s[-1] for s in spikes_seq]
-    return depths, spikes, final_state
+        if remat:
+            step = jax.checkpoint(step)
+        frames_t = jnp.moveaxis(frames[:, :-1], 1, 0)  # [T-1, B, H, W, C]
+        state, _ = jax.lax.scan(step, state, frames_t)
+    return forward(params, frames[:, -1], cfg, state)
 
 
 def firing_rates(params: Dict, frame: Array, cfg: StereoSpikeConfig,

@@ -36,14 +36,23 @@ def make_mesh(shape: Optional[Tuple[int, int]] = None,
     return Mesh(arr, ("data", "spatial"))
 
 
-def batch_spec(spatial: bool = True) -> Dict[str, P]:
-    """PartitionSpecs for a training batch {chunks, gt, mask}."""
+def batch_spec(spatial: bool = True,
+               keys: Tuple[str, ...] = ("chunks", "gt", "mask")) -> Dict[str, P]:
+    """PartitionSpecs for a training batch (any subset of the canonical
+    keys: chunks/warmup [B, T, H, W, C]; gt/mask/init_pots/init_mask
+    [B, H, W, 1])."""
     sp = "spatial" if spatial else None
-    return {
-        "chunks": P("data", None, sp, None, None),  # [B, T, H, W, C]
-        "gt": P("data", sp, None, None),            # [B, H, W, 1]
-        "mask": P("data", sp, None, None),
+    five_d = P("data", None, sp, None, None)
+    four_d = P("data", sp, None, None)
+    all_specs = {
+        "chunks": five_d,
+        "warmup": five_d,
+        "gt": four_d,
+        "mask": four_d,
+        "init_pots": four_d,
+        "init_mask": four_d,
     }
+    return {k: all_specs[k] for k in keys}
 
 
 def replicated_spec():
@@ -51,7 +60,7 @@ def replicated_spec():
 
 
 def shard_batch(batch: Dict, mesh: Mesh, spatial: bool = True) -> Dict:
-    spec = batch_spec(spatial)
+    spec = batch_spec(spatial, keys=tuple(batch.keys()))
     return {
         k: jax.device_put(v, NamedSharding(mesh, spec[k]))
         for k, v in batch.items()
@@ -66,11 +75,12 @@ def _state_shardings(mesh: Mesh):
     )
 
 
-def make_sharded_train_step(step_fn, mesh: Mesh, spatial: bool = True):
+def make_sharded_train_step(step_fn, mesh: Mesh, spatial: bool = True,
+                            batch_keys: Tuple[str, ...] = ("chunks", "gt", "mask")):
     """jit ``step_fn(state, batch)`` over the mesh: params replicated, batch
     data(+spatial)-sharded. XLA emits the gradient all-reduce (psum over
     'data') from the sharding annotations."""
-    spec = batch_spec(spatial)
+    spec = batch_spec(spatial, keys=batch_keys)
     batch_sh = {k: NamedSharding(mesh, v) for k, v in spec.items()}
     state_sh = _state_shardings(mesh)
     metrics_sh = NamedSharding(mesh, P())
@@ -81,7 +91,8 @@ def make_sharded_train_step(step_fn, mesh: Mesh, spatial: bool = True):
     )
 
 
-def make_shardmap_train_step(step_fn, mesh: Mesh):
+def make_shardmap_train_step(step_fn, mesh: Mesh,
+                             batch_keys: Tuple[str, ...] = ("chunks", "gt", "mask")):
     """Explicit-collective data-parallel step via ``jax.shard_map``.
 
     ``step_fn`` must be built with ``grad_psum_axis='data'`` (the in-step
@@ -91,7 +102,7 @@ def make_shardmap_train_step(step_fn, mesh: Mesh):
     provided because production debugging sometimes wants the collectives
     visible in the program.
     """
-    spec = batch_spec(spatial=False)
+    spec = batch_spec(spatial=False, keys=batch_keys)
     state_specs = TrainState(params=P(), opt_state=P(), step=P(),
                              epoch=P(), best_metric=P(), rng=P())
     fn = jax.shard_map(

@@ -41,8 +41,14 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, *, best: bool = False,
-                    tag: Optional[str] = None) -> str:
-    """Write ``latest`` (always), plus ``best``/periodic ``tag`` snapshots."""
+                    tag: Optional[str] = None,
+                    meta_extra: Optional[dict] = None) -> str:
+    """Write ``latest`` (always), plus ``best``/periodic ``tag`` snapshots.
+
+    ``meta_extra`` merges additional run facts into ``checkpoint_meta.json``
+    (e.g. the steps_per_epoch the LR schedule was built with, so a resume
+    with a different batch size keeps the original milestone positions).
+    """
     state = jax.device_get(state)
     data = serialization.to_bytes(state)
     path = os.path.join(ckpt_dir, LATEST)
@@ -55,10 +61,20 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, *, best: bool = False,
         "step": int(state.step),
         "epoch": int(state.epoch),
         "best_metric": float(state.best_metric),
+        **(meta_extra or {}),
     }
     _atomic_write(os.path.join(ckpt_dir, META),
                   json.dumps(meta, indent=2).encode())
     return path
+
+
+def load_meta(ckpt_dir: str) -> Optional[dict]:
+    """Read ``checkpoint_meta.json`` if present."""
+    path = os.path.join(ckpt_dir, META)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def restore_checkpoint(ckpt_dir: str, target: TrainState,
@@ -77,3 +93,12 @@ def restore_params(ckpt_dir: str, target_params, which: str = BEST):
     with open(os.path.join(ckpt_dir, which), "rb") as f:
         state_dict = serialization.msgpack_restore(f.read())
     return serialization.from_state_dict(target_params, state_dict["params"])
+
+
+def restore_fields(ckpt_dir: str, targets: dict, which: str = BEST) -> dict:
+    """Restore a subset of checkpoint fields by name (e.g. params +
+    bn_state for ANN eval) without needing the optimizer state's structure."""
+    with open(os.path.join(ckpt_dir, which), "rb") as f:
+        state_dict = serialization.msgpack_restore(f.read())
+    return {k: serialization.from_state_dict(t, state_dict[k])
+            for k, t in targets.items()}

@@ -14,8 +14,11 @@ from typing import Optional, Tuple
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
-    # model
-    model: str = "stereospike"        # factory name in models.factory
+    # model: a factory name in models.factory (stereospike, stereospike_tempo,
+    # stereospike_monocular, stereospike_noskip, stereospike_cutpredict) or an
+    # equivalent-ANN baseline (ann, ann_sigmoid, ann_tanh, ann_leaky_relu —
+    # reference ANN_models.py:28, paper Table 4)
+    model: str = "stereospike"
     in_hw: Tuple[int, int] = (260, 346)
     # None = use the model factory's default (e.g. the tempo variant's paper
     # value 10.0); setting a value overrides it for any model
@@ -33,7 +36,9 @@ class TrainConfig:
     split: str = "1"
     data_root: str = "./datasets/MVSEC/data/"
     normalize: bool = False
-    augment: bool = False
+    # the reference composes hflip/vflip/time-mirror/event-drop into every
+    # training run (data_augmentation.py:166-172, train.py:84-90)
+    augment: bool = True
 
     # optimization (train.py:126-128)
     learning_rate: float = 2e-4
@@ -47,6 +52,25 @@ class TrainConfig:
     scale_weights: Tuple[float, ...] = (1.0, 1.0, 1.0, 1.0)
     penalize_spikes: bool = False
     loss_beta: float = 1.0
+
+    # execution
+    # T axis of each batch: the n_inference chunks of a sample are spread
+    # over n_timesteps scan steps (must divide n_inference), channel-stacking
+    # n_inference/n_timesteps chunks per step. 1 = the reference's layout
+    # (everything channel-stacked, single timestep; train.py:200-218).
+    n_timesteps: int = 1
+    # layer-major fused Pallas multistep path (models/multistep.py) instead
+    # of the step-major lax.scan — the fast path for n_timesteps > 1, the
+    # TPU analog of SpikingJelly's CUDA multi-step neurons (README.md:42-44)
+    multistep: bool = False
+    # no-grad warmup inference before the train chunks (train.py:223-228)
+    use_warmup: bool = False
+    # seed the depth integrators with the previous GT
+    # (set_init_depths_potentials, SNN_models.py:247-248)
+    use_init_pots: bool = False
+    # save a 4-panel input/pred/GT/error PNG every N eval batches (0 = off;
+    # reference train.py:234-235, test.py:153-154)
+    save_viz: int = 0
 
     # runtime
     seed: int = 2021                  # train.py:53

@@ -4,12 +4,19 @@ The reference's three entry scripts (train.py, test.py,
 calculate_firing_rates.py — SURVEY.md C15/C17/C18) rebuilt as functions over
 a :class:`TrainConfig`, sharing one data/model/step assembly. Adds what the
 reference lacks: exact full-state resume, JSONL metrics, periodic
-checkpoints, synthetic-data mode, and multi-device execution.
+checkpoints, synthetic-data mode, multi-device execution, and the
+layer-major fused-Pallas multistep path (``multistep=True``).
+
+Every SNN variant plus the equivalent-ANN baselines (reference
+``ANN_models.py:28``, paper Table 4) are reachable through ``cfg.model``;
+ANN models dispatch to their own loops (they carry BatchNorm state).
 """
 
 from __future__ import annotations
 
+import os
 import time
+import warnings
 from typing import Dict, Optional
 
 import jax
@@ -29,6 +36,7 @@ from stereospike_tpu.models import (
     firing_rates,
     init_params,
 )
+from stereospike_tpu.models.ann import AnnConfig, init_ann_params, init_ann_state
 from stereospike_tpu.models.stereospike import StereoSpikeConfig, TAP_NAMES
 from stereospike_tpu.objectives import TotalLossConfig
 from stereospike_tpu.parallel import (
@@ -37,8 +45,14 @@ from stereospike_tpu.parallel import (
     make_sharded_train_step,
     shard_batch,
 )
+from stereospike_tpu.train.ann_steps import (
+    create_ann_train_state,
+    make_ann_eval_step,
+    make_ann_train_step,
+)
 from stereospike_tpu.train.checkpoint import (
     has_checkpoint,
+    load_meta,
     restore_checkpoint,
     restore_params,
     save_checkpoint,
@@ -52,22 +66,48 @@ from stereospike_tpu.train.state import (
 from stereospike_tpu.train.steps import make_eval_step, make_train_step
 from stereospike_tpu.utils import MetricsLogger, enable_nan_debugging
 
+# equivalent-ANN baseline activations (reference ANN_models.py:28 default is
+# Sigmoid; paper Table 4 compares sigmoid/tanh/leaky_relu)
+ANN_MODELS = {
+    "ann": "sigmoid",
+    "ann_sigmoid": "sigmoid",
+    "ann_tanh": "tanh",
+    "ann_leaky_relu": "leaky_relu",
+    "ann_relu": "relu",
+}
+
+
+def is_ann_model(name: str) -> bool:
+    return name in ANN_MODELS
+
+
+def _in_channels(cfg: TrainConfig) -> int:
+    """Per-step channel count: frames are channel-stacked
+    (train.py:200-218) with the n_inference chunks spread over n_timesteps
+    scan steps, so C = eyes · (N_inference/n_timesteps) · nfpdm · 2."""
+    eyes = 1 if cfg.model == "stereospike_monocular" else 2
+    if cfg.n_inference % cfg.n_timesteps:
+        raise ValueError(
+            f"n_timesteps={cfg.n_timesteps} must divide "
+            f"n_inference={cfg.n_inference}")
+    return eyes * (cfg.n_inference // cfg.n_timesteps) * cfg.nfpdm * 2
+
 
 def build_model_config(cfg: TrainConfig) -> StereoSpikeConfig:
-    """Resolve the model factory + input channel count.
-
-    Frames are channel-stacked (train.py:200-218), so
-    in_channels = eyes · N_inference · nfpdm · 2.
-    """
+    """Resolve the SNN model factory + input channel count."""
     fac = getattr(model_factory, cfg.model)
-    eyes = 1 if cfg.model == "stereospike_monocular" else 2
-    in_ch = eyes * cfg.n_inference * cfg.nfpdm * 2
-    kwargs = dict(in_hw=tuple(cfg.in_hw), in_channels=in_ch)
+    kwargs = dict(in_hw=tuple(cfg.in_hw), in_channels=_in_channels(cfg))
     if cfg.multiply_factor is not None:
         kwargs["multiply_factor"] = cfg.multiply_factor
     if cfg.model != "stereospike":
         kwargs.update(tau=cfg.tau, use_plif=cfg.use_plif)
     return fac(**kwargs)
+
+
+def build_ann_config(cfg: TrainConfig) -> AnnConfig:
+    """Resolve an equivalent-ANN baseline config from ``cfg.model``."""
+    return AnnConfig(in_channels=_in_channels(cfg), in_hw=tuple(cfg.in_hw),
+                     activation=ANN_MODELS[cfg.model])
 
 
 def _loss_config(cfg: TrainConfig) -> TotalLossConfig:
@@ -76,8 +116,11 @@ def _loss_config(cfg: TrainConfig) -> TotalLossConfig:
         penalize_spikes=cfg.penalize_spikes, beta=cfg.loss_beta)
 
 
-def _make_data(cfg: TrainConfig, synthetic: bool, tmpdir: Optional[str]):
-    """(train_view, val_view, test_view) from MVSEC or a synthetic fixture."""
+def _make_data(cfg: TrainConfig, synthetic: bool, tmpdir: Optional[str],
+               test_only: bool = False):
+    """(train_view, val_view, test_view) — or just the test view with
+    ``test_only`` (the reference's load_test_only, test.py:64-67: eval must
+    not load and voxelize the two multi-GB training sequences)."""
     if synthetic:
         import tempfile
 
@@ -86,12 +129,20 @@ def _make_data(cfg: TrainConfig, synthetic: bool, tmpdir: Optional[str]):
                                     n_events=30000, seed=cfg.seed)
         return load_mvsec(root, split="1", tables=tables, hw=tuple(cfg.in_hw),
                           nfpdm=cfg.nfpdm, warmup_chunks=cfg.n_warmup,
-                          train_chunks=cfg.n_inference, learn_on=cfg.learn_on)
+                          train_chunks=cfg.n_inference, learn_on=cfg.learn_on,
+                          load_test_only=test_only)
     return load_mvsec(
         cfg.data_root, scenario=cfg.scenario, split=cfg.split,
         nfpdm=cfg.nfpdm, warmup_chunks=cfg.n_warmup,
         train_chunks=cfg.n_inference, learn_on=cfg.learn_on,
-        normalize=cfg.normalize, hw=tuple(cfg.in_hw))
+        normalize=cfg.normalize, hw=tuple(cfg.in_hw),
+        load_test_only=test_only)
+
+
+def _test_view(cfg: TrainConfig, synthetic: bool, data):
+    if data is None:
+        return _make_data(cfg, synthetic, None, test_only=True)
+    return data[2] if isinstance(data, tuple) else data
 
 
 def _compute_dtype(cfg: TrainConfig):
@@ -103,12 +154,35 @@ def _device_setup(cfg: TrainConfig):
     if n <= 1:
         return None
     if cfg.mesh_shape:
+        if cfg.batch_size % cfg.mesh_shape[0]:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} is not divisible by the "
+                f"requested data-parallel mesh axis {cfg.mesh_shape[0]}")
         return make_mesh(tuple(cfg.mesh_shape))
-    # auto data-parallel mesh only when the batch divides cleanly; otherwise
-    # stay single-device rather than failing the device_put
     if cfg.batch_size % n == 0:
         return make_mesh((n, 1))
+    warnings.warn(
+        f"batch_size={cfg.batch_size} does not divide over the {n} available "
+        "devices; running SINGLE-device. Set batch_size to a multiple of "
+        f"{n} or pass an explicit mesh_shape to parallelize.")
     return None
+
+
+def _viz_dir(cfg: TrainConfig) -> str:
+    return os.path.join(cfg.checkpoint_dir, "visualizations")
+
+
+def _save_viz_panel(path: str, batch: Dict, depth, title: str) -> None:
+    """Render the reference's 4-panel figure (train.py:234-235,
+    test.py:153-154) for sample 0 of a batch."""
+    from stereospike_tpu.viz import save_panel
+
+    save_panel(path,
+               np.asarray(batch["chunks"])[0, 0],
+               np.asarray(depth)[0],
+               np.asarray(batch["gt"])[0],
+               np.asarray(batch["mask"])[0],
+               title=title)
 
 
 def train_loop(
@@ -124,6 +198,9 @@ def train_loop(
     device program) → validation pass → best-on-val checkpoint + full-state
     ``latest`` for exact resume. Returns a summary dict.
     """
+    if is_ann_model(cfg.model):
+        return _ann_train_loop(cfg, synthetic=synthetic, max_steps=max_steps,
+                               data=data)
     if cfg.debug_nans:
         enable_nan_debugging(True)
 
@@ -134,8 +211,15 @@ def train_loop(
     train_view, val_view, _ = data or _make_data(cfg, synthetic, None)
     steps_per_epoch = max(len(train_view) // cfg.batch_size, 1)
 
+    # LR milestones are epoch-based (MultiStepLR [8,42,60]); the schedule is
+    # step-indexed, so a resume with a different batch size/dataset must use
+    # the ORIGINAL steps_per_epoch or the milestones silently shift
+    sched_steps = steps_per_epoch
+    if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
+        meta = load_meta(cfg.checkpoint_dir) or {}
+        sched_steps = int(meta.get("steps_per_epoch", steps_per_epoch))
     sched = multistep_lr_schedule(cfg.learning_rate, cfg.lr_milestones,
-                                  cfg.lr_gamma, steps_per_epoch)
+                                  cfg.lr_gamma, sched_steps)
     tx = make_optimizer(sched, cfg.weight_decay)
 
     rng = jax.random.PRNGKey(cfg.seed)
@@ -148,12 +232,23 @@ def train_loop(
 
     dtype = _compute_dtype(cfg)
     mesh = _device_setup(cfg)
-    train_step = make_train_step(model_cfg, loss_cfg, tx,
-                                 learn_on=cfg.learn_on, compute_dtype=dtype)
+    # batch keys the device step consumes (everything else is stripped after
+    # augmentation)
+    keep = ["chunks", "gt", "mask"]
+    if cfg.use_warmup:
+        keep.append("warmup")
+    if cfg.use_init_pots:
+        keep.append("init_pots")
+
+    step_kw = dict(learn_on=cfg.learn_on, compute_dtype=dtype,
+                   multistep=cfg.multistep, use_warmup=cfg.use_warmup,
+                   use_init_pots=cfg.use_init_pots)
+    train_step = make_train_step(model_cfg, loss_cfg, tx, **step_kw)
     eval_step = make_eval_step(model_cfg, loss_cfg, learn_on=cfg.learn_on,
-                               compute_dtype=dtype)
+                               compute_dtype=dtype, multistep=cfg.multistep)
     if mesh is not None:
-        train_step = make_sharded_train_step(train_step, mesh, spatial=False)
+        train_step = make_sharded_train_step(train_step, mesh, spatial=False,
+                                             batch_keys=tuple(keep))
         eval_step = make_sharded_eval_step(eval_step, mesh, spatial=False)
     else:
         train_step = jax.jit(train_step)
@@ -166,7 +261,9 @@ def train_loop(
     logger.text(
         f"model={cfg.model} params={count_params(params):,} "
         f"devices={len(jax.devices())} steps/epoch={steps_per_epoch} "
-        f"batch={cfg.batch_size} lr={cfg.learning_rate} dtype={cfg.compute_dtype}")
+        f"batch={cfg.batch_size} T={cfg.n_timesteps} "
+        f"multistep={cfg.multistep} lr={cfg.learning_rate} "
+        f"dtype={cfg.compute_dtype} augment={cfg.augment}")
 
     def prep(batch: Dict, train: bool = True) -> Dict:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -174,7 +271,9 @@ def train_loop(
             nonlocal aug_key
             aug_key, k = jax.random.split(aug_key)
             batch = aug(k, batch)
-        batch = {k: batch[k] for k in ("chunks", "gt", "mask")}
+        # eval consumes only the canonical triple (no warmup/init_pots)
+        keys = keep if train else ("chunks", "gt", "mask")
+        batch = {k: batch[k] for k in keys if k in batch}
         if mesh is not None:
             batch = shard_batch(batch, mesh, spatial=False)
         return batch
@@ -183,12 +282,14 @@ def train_loop(
     start_epoch = int(state.epoch)
     done = False
     summary: Dict = {}
+    batch_kw = dict(binocular=binocular, n_timesteps=cfg.n_timesteps,
+                    include_warmup=cfg.use_warmup)
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         train_loss = train_mde = n_steps = 0
         for batch in batches(train_view, cfg.batch_size, shuffle=True,
-                             seed=cfg.seed + epoch, binocular=binocular):
+                             seed=cfg.seed + epoch, **batch_kw):
             state, metrics = train_step(state, prep(batch))
             train_loss += float(metrics["loss"])
             train_mde += float(metrics["mde"])
@@ -201,11 +302,15 @@ def train_loop(
         # validation (reference train.py:275-335)
         t0 = time.time()
         val_loss = val_mde = n_val = 0
-        for batch in batches(val_view, cfg.batch_size, binocular=binocular,
-                             drop_last=False):
+        for batch in batches(val_view, cfg.batch_size, drop_last=False,
+                             **batch_kw):
             out = eval_step(state.params, prep(batch, train=False))
             val_loss += float(out["loss"])
             val_mde += float(out["mde"])
+            if n_val == 0 and cfg.save_viz:
+                _save_viz_panel(
+                    os.path.join(_viz_dir(cfg), f"epoch_{epoch:04d}.png"),
+                    batch, out["depth"], title=f"epoch {epoch}")
             n_val += 1
         val_time = time.time() - t0
 
@@ -232,7 +337,8 @@ def train_loop(
         tag = (f"epoch_{epoch:04d}"
                if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0
                else None)
-        save_checkpoint(cfg.checkpoint_dir, state, best=is_best, tag=tag)
+        save_checkpoint(cfg.checkpoint_dir, state, best=is_best, tag=tag,
+                        meta_extra={"steps_per_epoch": sched_steps})
         summary = {"epoch": epoch, **scalars,
                    "best_val_MDE": float(state.best_metric)}
         if done:
@@ -245,13 +351,14 @@ def train_loop(
 def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
               which: str = "best.msgpack") -> Dict:
     """Offline test-set evaluation (reference test.py): restore checkpoint,
-    accumulate loss + MDE, write ``test_results.txt``."""
+    accumulate loss + MDE, write ``test_results.txt``. Only the test
+    sequence is loaded (test.py:64-67)."""
+    if is_ann_model(cfg.model):
+        return _ann_eval_loop(cfg, synthetic=synthetic, data=data, which=which)
     model_cfg = build_model_config(cfg)
     loss_cfg = _loss_config(cfg)
     binocular = cfg.model != "stereospike_monocular"
-    if data is None:
-        data = _make_data(cfg, synthetic, None)
-    test_view = data[2] if isinstance(data, tuple) else data
+    test_view = _test_view(cfg, synthetic, data)
 
     params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
     if has_checkpoint(cfg.checkpoint_dir, which):
@@ -259,14 +366,19 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
 
     eval_step = jax.jit(make_eval_step(model_cfg, loss_cfg,
                                        learn_on=cfg.learn_on,
-                                       compute_dtype=_compute_dtype(cfg)))
+                                       compute_dtype=_compute_dtype(cfg),
+                                       multistep=cfg.multistep))
     tot_loss = tot_mde = n = 0
     for batch in batches(test_view, cfg.batch_size, binocular=binocular,
-                         drop_last=False):
+                         drop_last=False, n_timesteps=cfg.n_timesteps):
         b = {k: jnp.asarray(batch[k]) for k in ("chunks", "gt", "mask")}
         out = eval_step(params, b)
         tot_loss += float(out["loss"])
         tot_mde += float(out["mde"])
+        if cfg.save_viz and n % cfg.save_viz == 0:
+            _save_viz_panel(
+                os.path.join(_viz_dir(cfg), f"test_{n:05d}.png"),
+                batch, out["depth"], title=f"test batch {n}")
         n += 1
     results = {"test_loss": tot_loss / max(n, 1), "test_MDE": tot_mde / max(n, 1),
                "n_batches": n}
@@ -283,24 +395,29 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
     """Spike-density profiling over the test set (reference
     calculate_firing_rates.py): mean per-tap density, written to
     ``firing_rates_on_test.txt``."""
+    if is_ann_model(cfg.model):
+        raise ValueError("firing-rates profiles spike densities; ANN models "
+                         "have no spikes (use an SNN model)")
     model_cfg = build_model_config(cfg)
     binocular = cfg.model != "stereospike_monocular"
-    if data is None:
-        data = _make_data(cfg, synthetic, None)
-    test_view = data[2] if isinstance(data, tuple) else data
+    test_view = _test_view(cfg, synthetic, data)
 
     params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
     if has_checkpoint(cfg.checkpoint_dir, which):
         params = restore_params(cfg.checkpoint_dir, params, which)
 
-    # stack the 14 tap densities on device and fetch once per batch (D2H
-    # round-trips through the device tunnel are the expensive part here)
-    rate_fn = jax.jit(lambda p, frame: jnp.stack(
-        [firing_rates(p, frame, model_cfg)[k] for k in TAP_NAMES]))
+    # ONE forward per batch returning all 14 tap densities, stacked on
+    # device and fetched once (D2H round-trips through the device tunnel are
+    # the expensive part here)
+    def _rates(p, frame):
+        taps = firing_rates(p, frame, model_cfg)
+        return jnp.stack([taps[k] for k in TAP_NAMES])
+
+    rate_fn = jax.jit(_rates)
     acc = np.zeros(len(TAP_NAMES))
     n = 0
     for batch in batches(test_view, cfg.batch_size, binocular=binocular,
-                         drop_last=False):
+                         drop_last=False, n_timesteps=cfg.n_timesteps):
         frame = jnp.asarray(batch["chunks"])[:, 0]
         acc += np.asarray(rate_fn(params, frame))
         n += 1
@@ -315,3 +432,127 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
     logger.text(f"mean encoder rate: {enc:.4f}  mean decoder rate: {dec:.4f}")
     logger.close()
     return out
+
+
+# ----------------------------------------------------------- ANN baselines
+def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
+                    max_steps: Optional[int] = None, data=None) -> Dict:
+    """Equivalent-ANN training (reference train.py with the ANN constructor
+    swapped in, :118-120; identical data/recipe so paper Table 4 reproduces)."""
+    if cfg.debug_nans:
+        enable_nan_debugging(True)
+    ann_cfg = build_ann_config(cfg)
+    loss_cfg = _loss_config(cfg)
+
+    train_view, val_view, _ = data or _make_data(cfg, synthetic, None)
+    steps_per_epoch = max(len(train_view) // cfg.batch_size, 1)
+    sched_steps = steps_per_epoch
+    if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
+        meta = load_meta(cfg.checkpoint_dir) or {}
+        sched_steps = int(meta.get("steps_per_epoch", steps_per_epoch))
+    sched = multistep_lr_schedule(cfg.learning_rate, cfg.lr_milestones,
+                                  cfg.lr_gamma, sched_steps)
+    tx = make_optimizer(sched, cfg.weight_decay)
+
+    params = init_ann_params(jax.random.PRNGKey(cfg.seed), ann_cfg)
+    state = create_ann_train_state(params, init_ann_state(ann_cfg), tx)
+    if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
+        state = restore_checkpoint(cfg.checkpoint_dir, state)
+
+    train_step = jax.jit(make_ann_train_step(ann_cfg, loss_cfg, tx,
+                                             learn_on=cfg.learn_on))
+    eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
+                                           learn_on=cfg.learn_on))
+    aug = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig()))
+    aug_key = jax.random.PRNGKey(cfg.seed + 777)
+
+    logger = MetricsLogger(cfg.checkpoint_dir)
+    logger.text(f"model={cfg.model} (ANN {ann_cfg.activation}) "
+                f"params={count_params(params):,} "
+                f"steps/epoch={steps_per_epoch} batch={cfg.batch_size}")
+
+    def prep(batch: Dict, train: bool = True) -> Dict:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if cfg.augment and train:
+            nonlocal aug_key
+            aug_key, k = jax.random.split(aug_key)
+            batch = aug(k, batch)
+        return {k: batch[k] for k in ("chunks", "gt", "mask")}
+
+    done = False
+    summary: Dict = {}
+    for epoch in range(int(state.epoch), cfg.epochs):
+        train_loss = train_mde = n_steps = 0
+        for batch in batches(train_view, cfg.batch_size, shuffle=True,
+                             seed=cfg.seed + epoch):
+            state, metrics = train_step(state, prep(batch))
+            train_loss += float(metrics["loss"])
+            train_mde += float(metrics["mde"])
+            n_steps += 1
+            if max_steps is not None and int(state.step) >= max_steps:
+                done = True
+                break
+        val_loss = val_mde = n_val = 0
+        for batch in batches(val_view, cfg.batch_size, drop_last=False):
+            out = eval_step(state.params, state.bn_state, prep(batch, False))
+            val_loss += float(out["loss"])
+            val_mde += float(out["mde"])
+            n_val += 1
+        state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+        scalars = {"train_loss": train_loss / max(n_steps, 1),
+                   "train_MDE": train_mde / max(n_steps, 1),
+                   "val_loss": val_loss / max(n_val, 1),
+                   "val_MDE": val_mde / max(n_val, 1)}
+        logger.log(scalars, step=int(state.step), epoch=epoch)
+        is_best = n_val > 0 and scalars["val_MDE"] < float(state.best_metric)
+        if is_best:
+            state = state._replace(
+                best_metric=jnp.asarray(scalars["val_MDE"], jnp.float32))
+        save_checkpoint(cfg.checkpoint_dir, state, best=is_best,
+                        meta_extra={"steps_per_epoch": sched_steps})
+        summary = {"epoch": epoch, **scalars,
+                   "best_val_MDE": float(state.best_metric)}
+        if done:
+            break
+    logger.close()
+    return summary
+
+
+def _ann_eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
+                   which: str = "best.msgpack") -> Dict:
+    """Equivalent-ANN test-set evaluation (reference test.py evaluating the
+    ANN — its committed default, test.py:80-84)."""
+    from stereospike_tpu.train.checkpoint import restore_fields
+
+    ann_cfg = build_ann_config(cfg)
+    loss_cfg = _loss_config(cfg)
+    test_view = _test_view(cfg, synthetic, data)
+
+    params = init_ann_params(jax.random.PRNGKey(cfg.seed), ann_cfg)
+    bn_state = init_ann_state(ann_cfg)
+    if has_checkpoint(cfg.checkpoint_dir, which):
+        restored = restore_fields(
+            cfg.checkpoint_dir, {"params": params, "bn_state": bn_state}, which)
+        params, bn_state = restored["params"], restored["bn_state"]
+
+    eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
+                                           learn_on=cfg.learn_on))
+    tot_loss = tot_mde = n = 0
+    for batch in batches(test_view, cfg.batch_size, drop_last=False):
+        b = {k: jnp.asarray(batch[k]) for k in ("chunks", "gt", "mask")}
+        out = eval_step(params, bn_state, b)
+        tot_loss += float(out["loss"])
+        tot_mde += float(out["mde"])
+        if cfg.save_viz and n % cfg.save_viz == 0:
+            _save_viz_panel(
+                os.path.join(_viz_dir(cfg), f"test_{n:05d}.png"),
+                batch, out["depth"], title=f"test batch {n}")
+        n += 1
+    results = {"test_loss": tot_loss / max(n, 1),
+               "test_MDE": tot_mde / max(n, 1), "n_batches": n}
+    logger = MetricsLogger(cfg.checkpoint_dir, name="test")
+    logger.log(results)
+    logger.text(f"Test loss: {results['test_loss']:.4f}  "
+                f"Test MDE (m): {results['test_MDE']:.4f}")
+    logger.close()
+    return results

@@ -144,6 +144,67 @@ def test_cli_save_config(tmp_path):
     assert cfg.in_hw == (48, 64)
 
 
+def test_cli_ann_train_and_eval(tmp_path):
+    """Paper Table 4 workflow (SNN vs equivalent ANN) as CLI one-liners."""
+    from stereospike_tpu.cli import main
+
+    ckpt = str(tmp_path / "ann_ckpt")
+    common = ["--synthetic", "--in-hw", SMALL_HW, "--batch-size", "2",
+              "--model", "ann_sigmoid", "--checkpoint-dir", ckpt]
+    rc = main(["train", "--max-steps", "2", "--epochs", "1"] + common)
+    assert rc == 0
+    assert has_checkpoint(ckpt, "best.msgpack")
+    rc = main(["eval"] + common)
+    assert rc == 0
+    assert os.path.exists(os.path.join(ckpt, "test_logs.txt"))
+
+
+def test_cli_multistep_warmup_initpots(tmp_path):
+    """The stateful-model recipe (warmup + init pots, train.py:223-228) and
+    the layer-major multistep path, reachable from the CLI."""
+    from stereospike_tpu.cli import main
+
+    ckpt = str(tmp_path / "ms_ckpt")
+    rc = main(["train", "--synthetic", "--max-steps", "1", "--epochs", "1",
+               "--in-hw", SMALL_HW, "--batch-size", "2",
+               "--model", "stereospike_tempo",
+               "--n-inference", "2", "--n-timesteps", "2",
+               "--multistep", "true", "--use-warmup", "true",
+               "--use-init-pots", "true", "--n-warmup", "2",
+               "--checkpoint-dir", ckpt])
+    assert rc == 0
+    assert has_checkpoint(ckpt)
+
+
+def test_eval_save_viz_and_test_only(trained):
+    from stereospike_tpu.train.loop import _make_data, eval_loop
+
+    cfg, _ = trained
+    cfg2 = dataclasses.replace(cfg, save_viz=2)
+    out = eval_loop(cfg2, synthetic=True)
+    assert out["n_batches"] > 0
+    pngs = glob.glob(os.path.join(cfg.checkpoint_dir, "visualizations",
+                                  "test_*.png"))
+    assert len(pngs) >= 1
+    # eval data loading touches only the test sequence (test.py:64-67)
+    view = _make_data(cfg, True, None, test_only=True)
+    assert not isinstance(view, tuple)
+    assert len(view.sequences) == 1
+
+
+def test_device_setup_indivisible_batches(tmp_path):
+    from stereospike_tpu.train.loop import _device_setup
+
+    # explicit mesh + indivisible batch must fail loudly
+    cfg = _tiny_cfg(str(tmp_path), batch_size=3, mesh_shape=(8, 1))
+    with pytest.raises(ValueError, match="not divisible"):
+        _device_setup(cfg)
+    # auto mesh falls back to single device but WARNS
+    cfg = _tiny_cfg(str(tmp_path), batch_size=3)
+    with pytest.warns(UserWarning, match="SINGLE-device"):
+        assert _device_setup(cfg) is None
+
+
 def test_viz_panels(tmp_path):
     from stereospike_tpu.viz import make_video, save_panel, show_learning
 
