@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Streaming-inference latency on one TPU chip.
+
+Measures steady-state end-to-end latency per 50 ms event window through
+``stereospike_tpu.streaming.StreamingEvaluator`` (host ring buffer → pad →
+H2D → on-device rectify+voxelize → stateful forward → D2H depth map) for
+the flagship binocular StereoSpike at 260×346 — the event-camera serving
+story (ROADMAP §5). Real-time budget: one window every 50 ms (20 Hz GT
+cadence, reference ``utils.py:6-11``).
+
+Writes ``benchmarks/streaming_latency.json``.
+"""
+
+import json
+import os
+import time
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/stereospike_tpu_xla"))
+
+
+def main(n_windows: int = 50, events_per_window: int = 30000) -> dict:
+    from stereospike_tpu.models import init_params, stereospike_tempo
+    from stereospike_tpu.streaming import StreamingEvaluator
+
+    cfg = stereospike_tempo()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    hw = cfg.in_hw
+    rng = np.random.default_rng(0)
+
+    def window(seed):
+        r = np.random.default_rng(seed)
+        n = events_per_window
+        return {
+            eye: np.stack([
+                r.integers(0, hw[1], n).astype(np.float32),
+                r.integers(0, hw[0], n).astype(np.float32),
+                np.sort(r.uniform(0, 0.05, n)).astype(np.float32),
+                r.choice([0.0, 1.0], n).astype(np.float32),
+            ], axis=1)
+            for eye in ("left", "right")
+        }
+
+    ev = StreamingEvaluator(params, cfg, block=1 << 16,
+                            reset_each_window=False)
+    # warmup = first compile + first D2H
+    for i in range(3):
+        d = ev.push(window(i))
+    assert np.isfinite(d).all()
+
+    lat = []
+    for i in range(n_windows):
+        w = window(100 + i)
+        t0 = time.perf_counter()
+        d = ev.push(w)  # returns a fetched np array = true sync
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+
+    report = {
+        "backend": jax.default_backend(),
+        "resolution": list(hw),
+        "events_per_window_per_eye": events_per_window,
+        "n_windows": n_windows,
+        "latency_ms_mean": round(float(lat_ms.mean()), 3),
+        "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 3),
+        "latency_ms_p99": round(float(np.percentile(lat_ms, 99)), 3),
+        "realtime_budget_ms": 50.0,
+        "realtime_ok": bool(np.percentile(lat_ms, 99) < 50.0),
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "streaming_latency.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Streaming inference: low-latency stateful depth from live event streams.
+
+The event-camera serving mode the reference never had (its eval replays a
+prebuilt dataset, ``test.py:101-150``). Here raw AER events are pushed into
+fixed-capacity host ring buffers as they arrive; every 50 ms window (the
+LIDAR/GT cadence, ``utils.py:6-11``) the buffered events are padded to a
+static block, voxelized ON-DEVICE (rectification gather + scatter-add,
+``data/voxelizer.py``), and fed through ONE jitted step that also carries
+the membrane-potential state — so the whole per-window pipeline is a single
+static-shape XLA program with no recompiles and one host→device transfer
+per eye.
+
+Typical use::
+
+    ev = StreamingEvaluator(params, model_cfg, maps={'left': (xm, ym),
+                                                     'right': (xm2, ym2)})
+    for window in camera:                 # dict eye -> [N, 4] (x, y, t, p)
+        depth = ev.push(window)           # [H, W, 1] depth map
+
+``reset_each_window=True`` reproduces the reference's stateless flagship
+(fresh state per chunk, train.py:221); ``False`` carries state across
+windows (the recurrent/tempo mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereospike_tpu.data.voxelizer import events_to_frames, rectify_events
+from stereospike_tpu.models.stereospike import (
+    StereoSpikeConfig,
+    forward,
+    init_state,
+)
+
+Array = jax.Array
+
+
+class EventRingBuffer:
+    """Fixed-capacity host ring buffer for one AER stream ([N, 4] rows).
+
+    Overwrites the oldest events when full (a live camera must never block
+    the producer); ``pop()`` drains the current contents in arrival order.
+    """
+
+    def __init__(self, capacity: int = 1 << 20):
+        self._buf = np.zeros((capacity, 4), np.float32)
+        self._capacity = capacity
+        self._head = 0          # next write position
+        self._size = 0
+        self.dropped = 0        # total overwritten rows (observability)
+
+    def __len__(self) -> int:
+        return self._size
+
+    def push(self, events: np.ndarray) -> None:
+        events = np.asarray(events, np.float32)
+        n = events.shape[0]
+        if n == 0:
+            return
+        if n >= self._capacity:  # keep only the newest capacity rows
+            self.dropped += self._size + n - self._capacity
+            self._buf[:] = events[-self._capacity:]
+            self._head, self._size = 0, self._capacity
+            return
+        end = self._head + n
+        if end <= self._capacity:
+            self._buf[self._head:end] = events
+        else:
+            k = self._capacity - self._head
+            self._buf[self._head:] = events[:k]
+            self._buf[:end - self._capacity] = events[k:]
+        overflow = max(0, self._size + n - self._capacity)
+        self.dropped += overflow
+        self._size = min(self._size + n, self._capacity)
+        self._head = end % self._capacity
+
+    def pop(self) -> np.ndarray:
+        """Drain all buffered events in arrival order."""
+        start = (self._head - self._size) % self._capacity
+        end = start + self._size
+        if end <= self._capacity:
+            out = self._buf[start:end].copy()
+        else:
+            out = np.concatenate(
+                [self._buf[start:], self._buf[:end - self._capacity]])
+        self._size = 0
+        return out
+
+
+class StreamingEvaluator:
+    """B=1 stateful evaluator: events in, depth maps out, one jitted step.
+
+    ``maps``: optional per-eye rectification maps ``{eye: (x_map, y_map)}``.
+    ``eyes`` orders the input channel blocks (must match the model's
+    training layout: left then right, train.py:214-218). Event timestamps
+    must be window-relative (seconds since the window start) — a live
+    driver's epoch stamps should be relativized by the caller (float64 −
+    window t0, as the dataset path does).
+    """
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg: StereoSpikeConfig,
+        *,
+        maps: Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]] = None,
+        eyes: Tuple[str, ...] = ("left", "right"),
+        nfpdm: int = 1,
+        window: float = 0.05,
+        block: int = 1 << 16,
+        reset_each_window: bool = True,
+        buffer_capacity: int = 1 << 20,
+    ):
+        if len(eyes) * nfpdm * 2 != cfg.in_channels:
+            raise ValueError(
+                f"{len(eyes)} eyes x nfpdm={nfpdm} gives "
+                f"{len(eyes) * nfpdm * 2} channels; model expects "
+                f"{cfg.in_channels}")
+        self.cfg = cfg
+        self.params = params
+        self.eyes = eyes
+        self.nfpdm = nfpdm
+        self.window = window
+        self.block = block
+        self.reset_each_window = reset_each_window
+        self.buffers = {e: EventRingBuffer(buffer_capacity) for e in eyes}
+        self._maps = {
+            e: (jnp.asarray(maps[e][0], jnp.float32),
+                jnp.asarray(maps[e][1], jnp.float32))
+            if maps and e in maps else None
+            for e in eyes
+        }
+        self._state = init_state(cfg, 1)
+        h, w = cfg.in_hw
+        dt = window / nfpdm
+
+        def step(params, state, evs: Dict[str, Array], valids: Dict[str, Array]):
+            frames = []
+            for e in eyes:
+                ev, valid = evs[e], valids[e]
+                if self._maps[e] is not None:
+                    ev, valid = rectify_events(ev, *self._maps[e], valid,
+                                               width=w, height=h)
+                fr = events_to_frames(ev, valid, jnp.float32(0.0),
+                                      jnp.float32(dt), n_frames=nfpdm,
+                                      height=h, width=w)
+                # [nfpdm, H, W, 2] -> [H, W, nfpdm*2] (frame, pol) stacking
+                frames.append(jnp.transpose(fr, (1, 2, 0, 3)).reshape(h, w, -1))
+            frame = jnp.concatenate(frames, axis=-1)[None]  # B=1
+            depths, _, new_state = forward(params, frame, self.cfg, state)
+            return depths[0], new_state
+
+        self._step = jax.jit(step)
+
+    def reset(self) -> None:
+        self._state = init_state(self.cfg, 1)
+
+    def _pad(self, ev: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        n = min(ev.shape[0], self.block)
+        out = np.zeros((self.block, 4), np.float32)
+        out[:n] = ev[-self.block:] if ev.shape[0] > self.block else ev
+        valid = np.zeros(self.block, bool)
+        valid[:n] = True
+        return out, valid
+
+    def push(self, window_events: Dict[str, np.ndarray]) -> np.ndarray:
+        """Feed one window's events per eye; returns the depth map [H, W, 1].
+
+        Static shapes: each eye's events are padded/truncated to ``block``
+        rows (truncation keeps the newest events and is counted in
+        ``buffers[eye].dropped``).
+        """
+        evs, valids = {}, {}
+        for e in self.eyes:
+            buf = self.buffers[e]
+            buf.push(window_events.get(e, np.zeros((0, 4), np.float32)))
+            raw = buf.pop()
+            if raw.shape[0] > self.block:
+                buf.dropped += raw.shape[0] - self.block
+            ev, valid = self._pad(raw)
+            evs[e] = jnp.asarray(ev)
+            valids[e] = jnp.asarray(valid)
+        state = (init_state(self.cfg, 1) if self.reset_each_window
+                 else self._state)
+        depth, self._state = self._step(self.params, state, evs, valids)
+        return np.asarray(depth[0])

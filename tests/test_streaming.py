@@ -1,0 +1,97 @@
+"""Streaming inference: ring buffer semantics + evaluator equivalence with
+the offline voxelize→forward pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereospike_tpu.models import init_params, stereospike_monocular, stereospike_tempo
+from stereospike_tpu.models.stereospike import forward, init_state
+from stereospike_tpu.streaming import EventRingBuffer, StreamingEvaluator
+
+HW = (32, 44)
+
+
+def _events(n, hw, t_lo, t_hi, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.stack([
+        rng.integers(0, hw[1], n).astype(np.float32),
+        rng.integers(0, hw[0], n).astype(np.float32),
+        np.sort(rng.uniform(t_lo, t_hi, n)).astype(np.float32),
+        rng.choice([0.0, 1.0], n).astype(np.float32),
+    ], axis=1)
+
+
+def test_ring_buffer_order_and_wraparound():
+    buf = EventRingBuffer(capacity=8)
+    a = np.arange(6 * 4, dtype=np.float32).reshape(6, 4)
+    buf.push(a)
+    assert len(buf) == 6
+    b = np.arange(100, 100 + 4 * 4, dtype=np.float32).reshape(4, 4)
+    buf.push(b)  # wraps: oldest 2 rows of `a` overwritten
+    assert len(buf) == 8 and buf.dropped == 2
+    out = buf.pop()
+    np.testing.assert_array_equal(out, np.concatenate([a[2:], b]))
+    assert len(buf) == 0
+    # oversized push keeps only the newest `capacity` rows
+    big = np.arange(12 * 4, dtype=np.float32).reshape(12, 4)
+    buf.push(big)
+    np.testing.assert_array_equal(buf.pop(), big[-8:])
+
+
+def test_streaming_matches_offline_pipeline():
+    """One window through the evaluator == events_to_frames + forward."""
+    from stereospike_tpu.data.voxelizer import events_to_frames
+
+    cfg = stereospike_monocular(in_hw=HW, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ev = _events(900, HW, 0.0, 0.05, seed=1)
+    evaluator = StreamingEvaluator(params, cfg, eyes=("left",), block=1024)
+    depth = evaluator.push({"left": ev})
+
+    fr = events_to_frames(jnp.asarray(ev), jnp.ones(900, bool),
+                          jnp.float32(0.0), jnp.float32(0.05),
+                          n_frames=1, height=HW[0], width=HW[1])
+    frame = jnp.transpose(fr, (1, 2, 0, 3)).reshape(HW[0], HW[1], 2)[None]
+    depths, _, _ = forward(params, frame, cfg)
+    np.testing.assert_allclose(depth, np.asarray(depths[0][0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_state_carry():
+    """reset_each_window=False carries membrane state across windows ==
+    two chained stateful forwards."""
+    cfg = stereospike_monocular(in_hw=HW, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    w1 = _events(500, HW, 0.0, 0.05, seed=2)
+    w2 = _events(500, HW, 0.0, 0.05, seed=3)
+
+    ev = StreamingEvaluator(params, cfg, eyes=("left",), block=512,
+                            reset_each_window=False)
+    ev.push({"left": w1})
+    depth2 = ev.push({"left": w2})
+
+    from stereospike_tpu.data.voxelizer import events_to_frames
+
+    def frame_of(w):
+        fr = events_to_frames(jnp.asarray(w), jnp.ones(len(w), bool),
+                              jnp.float32(0.0), jnp.float32(0.05),
+                              n_frames=1, height=HW[0], width=HW[1])
+        return jnp.transpose(fr, (1, 2, 0, 3)).reshape(HW[0], HW[1], 2)[None]
+
+    st = init_state(cfg, 1)
+    _, _, st = forward(params, frame_of(w1), cfg, st)
+    depths, _, _ = forward(params, frame_of(w2), cfg, st)
+    np.testing.assert_allclose(depth2, np.asarray(depths[0][0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_binocular_channel_layout():
+    """Left-then-right channel blocks, matching the training layout."""
+    cfg = stereospike_tempo(in_hw=HW, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ev_l = _events(400, HW, 0.0, 0.05, seed=4)
+    evaluator = StreamingEvaluator(params, cfg, block=512)
+    d = evaluator.push({"left": ev_l, "right": ev_l.copy()})
+    assert d.shape == HW + (1,)
+    assert np.isfinite(d).all()
