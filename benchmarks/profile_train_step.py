@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Train-step roofline profile on the real chip: FLOPs, TFLOP/s, MFU.
+
+VERDICT r1 asked for an absolute utilization figure instead of a
+torch-CPU speedup ratio. This script:
+
+1. compiles the full T=1 train step (fwd + BPTT + Adam, bf16 compute) and
+   reads XLA's own cost analysis (FLOPs + HBM bytes accessed),
+2. measures steady-state step time,
+3. reports sustained TFLOP/s, model FLOPs utilization (MFU) against the
+   chip's peak, and the arithmetic intensity / HBM-bound ceiling,
+4. emits an analytic per-layer FLOP table (conv sites dominate — SURVEY
+   §3.2) so the top optimization targets are visible without a trace
+   viewer.
+
+Writes ``benchmarks/profile_train_step.json``.
+"""
+
+import json
+import math
+import os
+import time
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/stereospike_tpu_xla"))
+
+# peak dense bf16 matmul throughput per chip (public figures; the tunnel
+# backend may not expose the generation — then MFU is reported per-candidate)
+PEAK_BF16_TFLOPS = {
+    "TPU v2": 45.0,
+    "TPU v3": 123.0,
+    "TPU v4": 275.0,
+    "TPU v5e": 197.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6e": 918.0,
+    "TPU7x": 2307.0,
+}
+# HBM bandwidth (GB/s) per chip, for the roofline ceiling
+HBM_GBPS = {
+    "TPU v2": 700.0,
+    "TPU v3": 900.0,
+    "TPU v4": 1228.0,
+    "TPU v5e": 819.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6e": 1640.0,
+    "TPU7x": 7400.0,
+}
+
+
+def analytic_layer_flops(cfg, batch: int) -> dict:
+    """Per-site forward conv FLOPs (2·H·W·k²·Cin·Cout); the train step costs
+    ≈ 3× forward (fwd + two backward convolutions per site)."""
+    sizes, c = cfg.sizes, cfg.channels
+    table = {}
+
+    def conv(name, hw, k, ci, co):
+        table[name] = 2 * batch * hw[0] * hw[1] * k * k * ci * co
+
+    conv("bottom", sizes[0], 5, cfg.in_channels, c[0])
+    for i in range(1, 5):
+        conv(f"conv{i}", sizes[i], 5, c[i - 1], c[i])
+    for s in ("sew1_a", "sew1_b", "sew2_a", "sew2_b"):
+        conv(s, sizes[4], 3, c[4], c[4])
+    for i, s in enumerate((4, 3, 2, 1)):
+        hw = sizes[s - 1]
+        up = (hw[0] + 4, hw[1] + 4)
+        conv(f"deconv{s}", up, 5, c[s], c[s - 1])
+    for s in (1, 2, 3, 4):
+        # factorized C_out=1 head: low-res k² contraction + selections
+        hw_in = cfg.sizes[s - 1]
+        table[f"pred{s}"] = 2 * batch * hw_in[0] * hw_in[1] * 9 * c[s - 1]
+    return table
+
+
+def main() -> dict:
+    from stereospike_tpu.data import synthetic_batch
+    from stereospike_tpu.models import init_params, stereospike
+    from stereospike_tpu.objectives import TotalLossConfig
+    from stereospike_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    cfg = stereospike()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tx = make_optimizer(2e-4)
+    state = create_train_state(params, tx, jax.random.PRNGKey(1))
+    data = synthetic_batch(jax.random.PRNGKey(2), batch=batch, in_hw=cfg.in_hw)
+    step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx,
+                                   compute_dtype=jnp.bfloat16),
+                   donate_argnums=(0,))
+
+    lowered = step.lower(state, data)
+    compiled = lowered.compile()
+    cost = {}
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        cost = {k: float(v) for k, v in ca.items()
+                if k in ("flops", "bytes accessed")}
+    except Exception as e:  # tunnel backends may not expose cost analysis
+        cost = {"error": str(e)}
+
+    for _ in range(3):
+        state, metrics = step(state, data)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, data)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    layer = analytic_layer_flops(cfg, batch)
+    fwd_flops = sum(layer.values())
+    train_flops_analytic = 3 * fwd_flops  # fwd + dL/dx + dL/dw convs
+    flops = cost.get("flops", train_flops_analytic)
+
+    kind = jax.devices()[0].device_kind
+    tflops = flops / dt / 1e12
+    peak = PEAK_BF16_TFLOPS.get(kind)
+    report = {
+        "backend": jax.default_backend(),
+        "device_kind": kind,
+        "batch": batch,
+        "step_time_s": round(dt, 5),
+        "frames_per_s": round(batch / dt, 2),
+        "xla_cost_analysis": cost,
+        "analytic_train_flops": train_flops_analytic,
+        "sustained_tflops": round(tflops, 2),
+        "peak_bf16_tflops": peak,
+        "mfu": round(tflops / peak, 4) if peak else None,
+        "mfu_by_generation": {
+            k: round(tflops / v, 4) for k, v in PEAK_BF16_TFLOPS.items()
+        } if not peak else None,
+        "hbm_roofline": {
+            "bytes_accessed": cost.get("bytes accessed"),
+            "arithmetic_intensity_flops_per_byte": (
+                round(flops / cost["bytes accessed"], 2)
+                if cost.get("bytes accessed") else None),
+            "bw_bound_step_s": {
+                k: round(cost["bytes accessed"] / (v * 1e9), 5)
+                for k, v in HBM_GBPS.items()
+            } if cost.get("bytes accessed") else None,
+        },
+        "per_layer_fwd_flops_pct": {
+            k: round(100 * v / fwd_flops, 2)
+            for k, v in sorted(layer.items(), key=lambda kv: -kv[1])
+        },
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "profile_train_step.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()
