@@ -48,9 +48,17 @@ def load_dense(
     mirror_time: bool = False,
     take_log: bool = True,
     hw: Tuple[int, int] = (FRAME_H, FRAME_W),
+    aer_format: str = "TXYP",
 ) -> DenseDataset:
     """Load a DENSE sequence directory (``events/data/*.npy`` +
-    ``depth/data/*.npy``)."""
+    ``depth/data/*.npy``).
+
+    ``aer_format``: column order of the .npy AER quadruplets — ``'TXYP'``
+    (the reference driver's default, ``dense_dataset.py:141``) or ``'XYTP'``
+    (the alternate layout ``AERtoEVFrame`` accepts, ``dense_dataset.py:60-71``).
+    """
+    if aer_format not in ("TXYP", "XYTP"):
+        raise ValueError(f"unknown AER format {aer_format!r}")
     h, w = hw
     ev_dir = os.path.join(root, "events", "data")
     d_dir = os.path.join(root, "depth", "data")
@@ -59,10 +67,13 @@ def load_dense(
 
     chunks, labels = [], []
     for ev_f, d_f in zip(ev_files, d_files):
-        aer = np.load(os.path.join(ev_dir, ev_f))  # TXYP
-        # reorder to the voxelizer's XYTP convention
-        ev = np.stack([aer[:, 1], aer[:, 2], aer[:, 0], aer[:, 3]], axis=1)
-        t0, t1 = float(aer[0, 0]), float(aer[-1, 0])
+        aer = np.load(os.path.join(ev_dir, ev_f))
+        if aer_format == "TXYP":
+            # reorder to the voxelizer's XYTP convention
+            ev = np.stack([aer[:, 1], aer[:, 2], aer[:, 0], aer[:, 3]], axis=1)
+        else:  # already XYTP
+            ev = aer
+        t0, t1 = float(ev[0, 2]), float(ev[-1, 2])
         dt = max((t1 - t0) / nfpdm, 1e-9)
         frames = rectify_bin_events(
             ev.astype(np.float32), nfpdm, t0, dt,

@@ -71,6 +71,11 @@ class TrainConfig:
     # save a 4-panel input/pred/GT/error PNG every N eval batches (0 = off;
     # reference train.py:234-235, test.py:153-154)
     save_viz: int = 0
+    # log per-tap firing-rate densities (the reference's offline
+    # calculate_firing_rates profile, SNN_models.py:194-245) into the
+    # training JSONL every N epochs, measured on one validation batch
+    # (0 = off) — training-time spike-activity observability
+    log_firing_rates: int = 0
 
     # runtime
     seed: int = 2021                  # train.py:53

@@ -257,6 +257,13 @@ def train_loop(
     aug_cfg = AugmentConfig(eyes=2 if binocular else 1)
     aug = jax.jit(lambda k, b: augment_batch(k, b, aug_cfg))
 
+    # training-time spike observability: per-tap densities on one val batch
+    # (one extra forward every cfg.log_firing_rates epochs)
+    rate_fn = None
+    if cfg.log_firing_rates:
+        rate_fn = jax.jit(lambda p, frame: jnp.stack(
+            [firing_rates(p, frame, model_cfg)[k] for k in TAP_NAMES]))
+
     logger = MetricsLogger(cfg.checkpoint_dir)
     logger.text(
         f"model={cfg.model} params={count_params(params):,} "
@@ -302,6 +309,7 @@ def train_loop(
         # validation (reference train.py:275-335)
         t0 = time.time()
         val_loss = val_mde = n_val = 0
+        fr_scalars: Dict[str, float] = {}
         for batch in batches(val_view, cfg.batch_size, drop_last=False,
                              **batch_kw):
             out = eval_step(state.params, prep(batch, train=False))
@@ -311,6 +319,12 @@ def train_loop(
                 _save_viz_panel(
                     os.path.join(_viz_dir(cfg), f"epoch_{epoch:04d}.png"),
                     batch, out["depth"], title=f"epoch {epoch}")
+            if (n_val == 0 and rate_fn is not None
+                    and epoch % cfg.log_firing_rates == 0):
+                frame = jnp.asarray(batch["chunks"])[:, 0]
+                rates = np.asarray(rate_fn(state.params, frame))
+                fr_scalars = {f"fr_{k}": float(v)
+                              for k, v in zip(TAP_NAMES, rates)}
             n_val += 1
         val_time = time.time() - t0
 
@@ -323,6 +337,7 @@ def train_loop(
             "lr": float(sched(int(state.step))),
             "train_time_s": train_time,
             "val_time_s": val_time,
+            **fr_scalars,
         }
         logger.log(scalars, step=int(state.step), epoch=epoch)
         logger.text(
@@ -408,9 +423,13 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
 
     # ONE forward per batch returning all 14 tap densities, stacked on
     # device and fetched once (D2H round-trips through the device tunnel are
-    # the expensive part here)
+    # the expensive part here). No-grad → phase-stacked decoder form.
+    import dataclasses as _dc
+
+    rates_cfg = _dc.replace(model_cfg, phase_upsample=True)
+
     def _rates(p, frame):
-        taps = firing_rates(p, frame, model_cfg)
+        taps = firing_rates(p, frame, rates_cfg)
         return jnp.stack([taps[k] for k in TAP_NAMES])
 
     rate_fn = jax.jit(_rates)

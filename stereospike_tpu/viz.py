@@ -84,6 +84,104 @@ def save_panel(path: str, *args, **kwargs) -> None:
     cv2.imwrite(path, img[..., ::-1])  # RGB → BGR
 
 
+def _depth_to_rgb(depth: np.ndarray) -> np.ndarray:
+    """NaN/invalid → 0, min-max normalize to uint8 grayscale RGB (the
+    reference's per-frame processing, ``datasets/MVSEC/utils.py:100-106``)."""
+    f = np.nan_to_num(np.asarray(depth, np.float32).squeeze(), nan=0.0)
+    lo, hi = float(f.min()), float(f.max())
+    f = (f - lo) * (255.0 / (hi - lo)) if hi > lo else np.zeros_like(f)
+    g = f.astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def depth_video(depths: Sequence[np.ndarray], out_path: str,
+                fps: int = 20) -> None:
+    """Depth-map sequence → mp4 (reference ``mvsecShowDepth``,
+    ``datasets/MVSEC/utils.py:76-112`` — headless: writes the file instead
+    of an imshow loop; one stream instead of the L/R/raw mosaics)."""
+    import cv2
+
+    frames = [_depth_to_rgb(d) for d in depths]
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    for f in frames:
+        writer.write(f[..., ::-1])
+    writer.release()
+
+
+def events_on_depth_frames(
+    depths: np.ndarray,
+    depth_ts: np.ndarray,
+    events: np.ndarray,
+) -> list:
+    """Superpose raw events on depth frames → list of RGB arrays
+    (reference ``mvsecSpikesAndDepth``, ``datasets/MVSEC/utils.py:137-213``).
+
+    ``events``: [N, 4] XYTP (the repo's canonical AER column order); the
+    reference's per-event Python painting loop becomes one vectorized
+    searchsorted binning + fancy-index paint per frame. Events with
+    ``t <= depth_ts[i]`` since the previous acquisition land on frame i
+    (the reference assigns events to the *next* Lidar acquisition).
+    """
+    depths = np.asarray(depths)
+    ev = np.asarray(events)
+    x = ev[:, 0].astype(np.int64)
+    y = ev[:, 1].astype(np.int64)
+    t = ev[:, 2].astype(np.float64)
+    pol = ev[:, 3]
+    h, w = depths.shape[1], depths.shape[2]
+    keep = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+    x, y, t, pol = x[keep], y[keep], t[keep], pol[keep]
+    frame_idx = np.searchsorted(np.asarray(depth_ts, np.float64), t,
+                                side="left")
+    out = []
+    for i in range(depths.shape[0]):
+        rgb = _depth_to_rgb(depths[i])
+        sel = frame_idx == i
+        on = sel & (pol > 0)
+        off = sel & ~(pol > 0)
+        rgb[y[on], x[on]] = (255, 0, 0)   # ON = red
+        rgb[y[off], x[off]] = (0, 0, 255)  # OFF = blue
+        out.append(rgb)
+    return out
+
+
+def events_on_depth_video(
+    depths: np.ndarray,
+    depth_ts: np.ndarray,
+    events: np.ndarray,
+    out_path: str,
+    fps: int = 20,
+) -> None:
+    """mp4 of :func:`events_on_depth_frames` (headless ``mvsecSpikesAndDepth``)."""
+    import cv2
+
+    frames = events_on_depth_frames(depths, depth_ts, events)
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    for f in frames:
+        writer.write(f[..., ::-1])
+    writer.release()
+
+
+def event_frames_video(frames: np.ndarray, out_path: str,
+                       fps: int = 30) -> None:
+    """Event-count frame sequence [N, H, W, 2] → color mp4 (the DENSE
+    dataset preview, reference ``dense_dataset.py:182-188`` ``DENSE.show`` —
+    headless file output; colors per ``event_frame_to_rgb``)."""
+    import cv2
+
+    frames = np.asarray(frames)
+    h, w = frames.shape[1:3]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    for f in frames:
+        writer.write(event_frame_to_rgb(f[..., :2])[..., ::-1])
+    writer.release()
+
+
 def make_video(png_paths: Sequence[str], out_path: str, fps: int = 20) -> None:
     """Assemble PNG frames into an mp4 (reference make_vid_from_pngs,
     viz.py:97-122; default fps = LIDAR rate)."""

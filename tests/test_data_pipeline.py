@@ -148,6 +148,29 @@ def test_dense_signed_polarity(dense_root):
     assert ds.data[..., 0].sum() > 0 and ds.data[..., 1].sum() > 0
 
 
+def test_dense_xytp_format(dense_root, tmp_path):
+    """XYTP column order loads identically to the same events in TXYP
+    (reference AERtoEVFrame accepts both, dense_dataset.py:47-71)."""
+    ref = load_dense(dense_root, hw=HW)
+    root2 = str(tmp_path / "dense_xytp")
+    ev_dir = os.path.join(root2, "events", "data")
+    d_dir = os.path.join(root2, "depth", "data")
+    os.makedirs(ev_dir)
+    os.makedirs(d_dir)
+    src_ev = os.path.join(dense_root, "events", "data")
+    src_d = os.path.join(dense_root, "depth", "data")
+    for f in os.listdir(src_ev):
+        txyp = np.load(os.path.join(src_ev, f))
+        np.save(os.path.join(ev_dir, f), txyp[:, [1, 2, 0, 3]])  # → XYTP
+    for f in os.listdir(src_d):
+        np.save(os.path.join(d_dir, f), np.load(os.path.join(src_d, f)))
+    ds = load_dense(root2, hw=HW, aer_format="XYTP")
+    np.testing.assert_array_equal(ds.data, ref.data)
+    np.testing.assert_array_equal(ds.labels, ref.labels)
+    with pytest.raises(ValueError, match="unknown AER format"):
+        load_dense(root2, hw=HW, aer_format="PTXY")
+
+
 # ------------------------------------------------------------- augmentation
 def _aug_batch():
     b = synthetic_batch(jax.random.PRNGKey(0), batch=4, in_hw=(16, 20),

@@ -71,7 +71,7 @@ def trained(tmp_path_factory):
     from stereospike_tpu.train.loop import train_loop
 
     tmp = str(tmp_path_factory.mktemp("run"))
-    cfg = _tiny_cfg(tmp)
+    cfg = _tiny_cfg(tmp, log_firing_rates=1)
     summary = train_loop(cfg, synthetic=True)
     return cfg, summary
 
@@ -89,6 +89,11 @@ def test_train_loop_synthetic(trained):
     assert len(lines) == 2
     rec = json.loads(lines[-1])
     assert {"train_loss", "val_MDE", "lr", "epoch"} <= set(rec)
+    # training-time firing-rate observability (log_firing_rates=1): every
+    # tap logged as a density in [0, 1]
+    fr = {k: v for k, v in rec.items() if k.startswith("fr_")}
+    assert len(fr) == 14
+    assert all(0.0 <= v <= 1.0 for v in fr.values())
 
 
 def test_resume_continues(trained):
@@ -223,3 +228,39 @@ def test_viz_panels(tmp_path):
     out = str(tmp_path / "vid.mp4")
     make_video(paths, out, fps=5)
     assert os.path.getsize(out) > 0
+
+
+def test_dataset_videos(tmp_path):
+    """Depth-map / events-on-depth / event-frame video tooling (reference
+    datasets/MVSEC/utils.py:76-213, dense_dataset.py:182-188)."""
+    from stereospike_tpu.viz import (
+        depth_video,
+        event_frames_video,
+        events_on_depth_frames,
+        events_on_depth_video,
+    )
+
+    rng = np.random.default_rng(0)
+    depths = rng.uniform(1.0, 9.0, (4, 24, 30)).astype(np.float32)
+    depths[0, 0, 0] = np.nan  # invalid pixels must not poison normalization
+    depth_ts = np.array([0.05, 0.10, 0.15, 0.20])
+    # one ON event before frame 0's ts, one OFF event in frame 2's window
+    events = np.array([[3.0, 5.0, 0.01, 1.0],
+                       [7.0, 2.0, 0.12, -1.0],
+                       [50.0, 2.0, 0.12, 1.0]])  # out of FOV: dropped
+
+    frames = events_on_depth_frames(depths, depth_ts, events)
+    assert len(frames) == 4 and frames[0].dtype == np.uint8
+    assert tuple(frames[0][5, 3]) == (255, 0, 0)    # ON = red on frame 0
+    assert tuple(frames[2][2, 7]) == (0, 0, 255)    # OFF = blue on frame 2
+    assert tuple(frames[1][5, 3]) != (255, 0, 0)    # not painted elsewhere
+
+    p1 = str(tmp_path / "depth.mp4")
+    depth_video(depths, p1, fps=5)
+    p2 = str(tmp_path / "events_on_depth.mp4")
+    events_on_depth_video(depths, depth_ts, events, p2, fps=5)
+    ev_frames = rng.poisson(0.3, (4, 24, 30, 2)).astype(np.float32)
+    p3 = str(tmp_path / "event_frames.mp4")
+    event_frames_video(ev_frames, p3, fps=5)
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 0
