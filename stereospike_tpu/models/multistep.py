@@ -176,7 +176,7 @@ def forward_multistep(
     for scale in (4, 3, 2, 1):
         xdec = fire(f"deconv{scale}", upsample_conv_scale(
             xdec, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
-            static_scale=ms))
+            static_scale=ms, phase=cfg.phase_upsample))
         if cfg.use_skips:
             xdec = xdec + skips[scale - 1]
         spikes_last.append(xdec.reshape((T, B) + xdec.shape[1:])[-1])

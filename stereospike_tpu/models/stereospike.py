@@ -86,6 +86,10 @@ class StereoSpikeConfig:
     use_skips: bool = True
     heads: Tuple[int, ...] = (1, 2, 3, 4)  # scales with prediction heads
     connect_fn: str = "ADD"
+    # phase-stacked decoder upsample-convs: math-identical MXU-lane packing
+    # that is faster forward-only but slower under BPTT (see
+    # nn/layers.upsample_conv) — inference drivers flip this on
+    phase_upsample: bool = False
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -274,7 +278,8 @@ def forward(
     x = out_rconv
     for scale in (4, 3, 2, 1):
         x = tap(f"out_deconv{scale}", fire(f"deconv{scale}", upsample_conv_scale(
-            x, params[f"deconv{scale}"], target_hw=sizes[scale - 1], static_scale=ms)))
+            x, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
+            static_scale=ms, phase=cfg.phase_upsample)))
         if cfg.use_skips:
             x = x + skips[scale - 1]
         x = tap(f"out_add{scale}", x)

@@ -204,6 +204,68 @@ def _upsample_conv_1out(x: Array, w: Array, b: Optional[Array],
     return out
 
 
+def _phase_kernel(w: Array, py: int, px: int) -> Array:
+    """Stack a [k,k,ci,co] kernel into the py×px output-phase kernel
+    [k+py-1, k+px-1, ci, py·px·co]: channel block (a·px+b) holds w shifted
+    by (a, b), so a VALID conv with strides (py, px) computes output pixel
+    (py·i+a, px·j+b) in channel block (a·px+b) at position (i, j)."""
+    parts = []
+    for a in range(py):
+        for b in range(px):
+            parts.append(jnp.pad(w, ((a, py - 1 - a), (b, px - 1 - b),
+                                     (0, 0), (0, 0))))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _phase_conv_valid(up: Array, w: Array, py: int, px: int) -> Array:
+    """VALID k×k stride-1 conv computed as a phase-stacked strided conv +
+    depth-to-space — same math, py·px·co output channels on the MXU lanes."""
+    precision = (jax.lax.Precision.HIGHEST if up.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    co = w.shape[3]
+    wp = _phase_kernel(w, py, px).astype(up.dtype)
+    out = jax.lax.conv_general_dilated(
+        up, wp, window_strides=(py, px), padding="VALID",
+        dimension_numbers=_DIMNUMS, precision=precision)
+    n, h2, w2, _ = out.shape
+    out = out.reshape(n, h2, w2, py, px, co)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2 * py, w2 * px, co)
+    return out
+
+
+def _upsample_conv_phased(x: Array, w: Array, target_hw: Tuple[int, int],
+                          py: int, px: int) -> Array:
+    """nearest-upsample → VALID conv with a phase-stacked conv.
+
+    Small-C_out decoder convs at full resolution (deconv1: C_out=32) fill
+    only C_out of the MXU's 128 lanes; phase-stacking computes the py×px
+    even/odd output pixels as py·px·C_out channels of a strided conv with a
+    (k+py-1)×(k+px-1) kernel, then depth-to-space. Measured on a v5e at
+    batch 128 bf16 this cuts the deconv1 forward 35 → 17 ms and fwd+bwd
+    53 → 43 ms. (A custom VJP replaying the plain form's backward was
+    measured SLOWER than autodiff of this form — 52 ms — so plain autodiff
+    it is.)
+    """
+    k = w.shape[0]
+    up = nearest_upsample(x, (target_hw[0] + k - 1, target_hw[1] + k - 1))
+    return _phase_conv_valid(up, w, py, px)
+
+
+def _phase_factors(target_hw: Tuple[int, int], co: int) -> Tuple[int, int]:
+    """Pick the (py, px) output-phase factors for an upsample-conv site:
+    2 per even target axis, only while the stacked channels py·px·co still
+    fit one 128-lane register (beyond that the plain conv is already
+    MXU-efficient)."""
+    py = 2 if target_hw[0] % 2 == 0 else 1
+    px = 2 if target_hw[1] % 2 == 0 else 1
+    while py * px * co > 128 and (py, px) != (1, 1):
+        if px == 2:
+            px = 1
+        else:
+            py = 1
+    return py, px
+
+
 def upsample_conv(
     x: Array,
     w: Array,
@@ -211,6 +273,7 @@ def upsample_conv(
     *,
     target_hw: Tuple[int, int],
     mode: str = "nearest",
+    phase: bool = False,
 ) -> Array:
     """NN-upsample-then-valid-conv anti-checkerboard upsampling.
 
@@ -219,9 +282,23 @@ def upsample_conv(
     ``mode='bilinear'`` gives the ANN's ``BilinConvUpsampling``
     (align_corners=True, ``blocks.py:30``). Single-output-channel heads take
     the factorized path (:func:`_upsample_conv_1out`).
+
+    ``phase=True`` lets small-C_out sites with even target dims take the
+    phase-stacked form (:func:`_upsample_conv_phased`). Measured on a v5e
+    (batch 128 bf16): 2× forward-only (35→17 ms for deconv1) and +11% on
+    the whole no-grad eval step — but −7% on the full TRAIN step, where the
+    depth-to-space relayout breaks XLA's conv↔elementwise fusion in the
+    backward. Inference paths enable it; training leaves it off.
     """
     if mode == "nearest" and w.shape[-1] == 1:
         return _upsample_conv_1out(x, w, b, target_hw)
+    if mode == "nearest" and phase:
+        py, px = _phase_factors(target_hw, w.shape[-1])
+        if (py, px) != (1, 1):
+            out = _upsample_conv_phased(x, w, target_hw, py, px)
+            if b is not None:
+                out = out + b
+            return out
     k = w.shape[0]
     up_size = (target_hw[0] + k - 1, target_hw[1] + k - 1)
     if mode == "nearest":

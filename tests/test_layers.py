@@ -154,3 +154,45 @@ def test_upsample_conv_1out_factorized_matches_naive():
             w, b, stride=1, padding=0) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_upsample_conv_phase_stacked_matches_naive():
+    """The phase-stacked small-C_out decoder path (forward + custom-VJP
+    backward) must equal plain upsample-then-conv exactly."""
+    from stereospike_tpu.nn.layers import _upsample_conv_phased
+
+    cases = [
+        # (k, ci, co, in_hw, target, expected phases)
+        (5, 8, 6, (7, 9), (14, 18), (2, 2)),    # both axes even
+        (5, 8, 32, (7, 9), (14, 18), (2, 1)),   # 4*32>128 -> H-only
+        (5, 8, 40, (6, 7), (12, 13), (2, 1)),   # W odd -> H-only
+        (3, 8, 6, (7, 9), (14, 18), (2, 2)),    # k=3 heads-like kernel
+    ]
+    for k, ci, co, in_hw, target, (py, px) in cases:
+        x = jnp.asarray(_rand(2, ci, *in_hw, seed=21).transpose(0, 2, 3, 1))
+        w = jnp.asarray(_rand(co, ci, k, k, seed=22).transpose(2, 3, 1, 0))
+        b = jnp.asarray(_rand(co, seed=23))
+        up = nearest_upsample(x, (target[0] + k - 1, target[1] + k - 1))
+        naive = conv2d(up, w, b, stride=1, padding=0)
+        fast = _upsample_conv_phased(x, w, target, py, px) + b
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                                   rtol=1e-5, atol=1e-5)
+        # the dispatcher picks the phased path for these configs
+        disp = upsample_conv(x, w, b, target_hw=target, phase=True)
+        np.testing.assert_allclose(np.asarray(disp), np.asarray(fast),
+                                   rtol=0, atol=0)
+        # custom-VJP grads equal the plain path's autodiff grads
+        gx1, gw1 = jax.grad(
+            lambda x, w: jnp.sum(_upsample_conv_phased(x, w, target, py, px) ** 2),
+            argnums=(0, 1))(x, w)
+        gx2, gw2 = jax.grad(
+            lambda x, w: jnp.sum(conv2d(
+                nearest_upsample(x, (target[0] + k - 1, target[1] + k - 1)),
+                w, stride=1, padding=0) ** 2), argnums=(0, 1))(x, w)
+        # XLA may partition the reductions differently (e.g. over the 8
+        # virtual test devices), so allow float reassociation noise relative
+        # to the gradient scale (values are O(1e3) here)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2),
+                                   rtol=1e-4, atol=1e-3)
