@@ -181,23 +181,29 @@ def _upsample_conv_1out(x: Array, w: Array, b: Optional[Array],
 
         out = Σ_{dy,dx} Ph^{dy} · (x ⋅ w[dy,dx,:]) · (Pw^{dx})ᵀ
 
-    i.e. a 1×1 contraction to k² channels at LOW resolution, then k²
-    shifted selection upsamples of single-channel maps. ~5× fewer FLOPs and
-    no giant intermediate; bit-identical up to float reassociation.
+    i.e. a 1×1 contraction to k² channels at LOW resolution, then shifted
+    selection upsamples — ~5× fewer FLOPs and no giant intermediate.
+
+    The shift sums are evaluated as TWO joint-contraction matmuls (stack
+    the k shifted selections per axis and contract (shift, spatial)
+    together) instead of k² single-channel matmul pairs: measured on a v5e
+    the single-channel form ran at ~1 TFLOP/s (1 of 128 MXU lanes), the
+    joint form is one dense [h_t × k·h_in] and one [w_t × k·w_in] GEMM.
+    Bit-identical up to float reassociation.
     """
     k = w.shape[0]
     h_in, w_in = x.shape[1], x.shape[2]
     h_t, w_t = target_hw
     up_h, up_w = h_t + k - 1, w_t + k - 1
-    z = jnp.einsum("bhwc,ijc->bhwij", x, w[..., 0])
-    out = None
-    for dy in range(k):
-        ph = jnp.asarray(_shifted_selection(h_in, up_h, dy, h_t), x.dtype)
-        for dx in range(k):
-            pw = jnp.asarray(_shifted_selection(w_in, up_w, dx, w_t), x.dtype)
-            term = jnp.einsum("oh,bhw->bow", ph, z[:, :, :, dy, dx])
-            term = jnp.einsum("pw,bow->bop", pw, term)
-            out = term if out is None else out + term
+    z = jnp.einsum("bhwc,ijc->bhwij", x, w[..., 0])  # [B,h,w,dy,dx]
+    ph = jnp.asarray(
+        np.stack([_shifted_selection(h_in, up_h, dy, h_t) for dy in range(k)]),
+        x.dtype)  # [k, h_t, h_in]
+    pw = jnp.asarray(
+        np.stack([_shifted_selection(w_in, up_w, dx, w_t) for dx in range(k)]),
+        x.dtype)  # [k, w_t, w_in]
+    a = jnp.einsum("ioh,bhwij->bowj", ph, z)   # Σ_{dy,h}: [B,h_t,w_in,dx]
+    out = jnp.einsum("jpw,bowj->bop", pw, a)   # Σ_{dx,w}: [B,h_t,w_t]
     out = out[..., None]
     if b is not None:
         out = out + b
