@@ -63,6 +63,46 @@ def main(n_windows: int = 50, events_per_window: int = 30000) -> dict:
         lat.append(time.perf_counter() - t0)
     lat_ms = np.asarray(lat) * 1e3
 
+    # pipelined mode: push dispatches window i and fetches the oldest
+    # finished depth — the D2H round trip overlaps the in-flight device
+    # compute, so the steady-state inter-result interval is what counts
+    pip_stats = {}
+    for depth_n in (1, 2):
+        evp = StreamingEvaluator(params, cfg, block=1 << 16,
+                                 reset_each_window=False, pipeline=depth_n)
+        for i in range(3 + depth_n):
+            evp.push(window(i))
+        pip = []
+        for i in range(n_windows):
+            w = window(100 + i)
+            t0 = time.perf_counter()
+            d = evp.push(w)
+            pip.append(time.perf_counter() - t0)
+            assert d is not None
+        while evp.flush() is not None:
+            pass
+        pip_ms = np.asarray(pip) * 1e3
+        pip_stats[depth_n] = pip_ms
+
+    pip_ms = min(pip_stats.values(), key=lambda a: float(np.mean(a)))
+    best_depth = [k for k, v in pip_stats.items() if v is pip_ms][0]
+
+    # decompose the floor: fetch round-trip of a fresh tiny device buffer
+    # (on the axon tunnel this is ~30-40 ms and dominates; on a
+    # locally-attached chip it is microseconds and the pipelined interval
+    # collapses to host prep + compute)
+    import jax.numpy as jnp
+    rt = []
+    add_one = jax.jit(lambda x: x + 1.0)
+    y = add_one(jnp.zeros(4))
+    np.asarray(y)
+    for i in range(10):
+        y = add_one(y)
+        t0 = time.perf_counter()
+        np.asarray(y)
+        rt.append(time.perf_counter() - t0)
+    d2h_ms = float(np.median(rt) * 1e3)
+
     report = {
         "backend": jax.default_backend(),
         "resolution": list(hw),
@@ -71,8 +111,19 @@ def main(n_windows: int = 50, events_per_window: int = 30000) -> dict:
         "latency_ms_mean": round(float(lat_ms.mean()), 3),
         "latency_ms_p50": round(float(np.percentile(lat_ms, 50)), 3),
         "latency_ms_p99": round(float(np.percentile(lat_ms, 99)), 3),
+        "pipelined_depth": best_depth,
+        "pipelined_interval_ms_mean": round(float(pip_ms.mean()), 3),
+        "pipelined_interval_ms_p50": round(float(np.percentile(pip_ms, 50)), 3),
+        "pipelined_interval_ms_p99": round(float(np.percentile(pip_ms, 99)), 3),
+        "pipelined_by_depth_mean_ms": {
+            k: round(float(v.mean()), 3) for k, v in pip_stats.items()},
         "realtime_budget_ms": 50.0,
         "realtime_ok": bool(np.percentile(lat_ms, 99) < 50.0),
+        "pipelined_realtime_ok": bool(np.percentile(pip_ms, 99) < 50.0),
+        # environment decomposition: per-window device compute is ~12 ms
+        # (2x voxelize ~2 ms + B=1 forward ~6 ms); the remainder is this
+        # backend's D2H round trip, measured here on a fresh tiny buffer
+        "d2h_roundtrip_ms": round(d2h_ms, 3),
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "streaming_latency.json")

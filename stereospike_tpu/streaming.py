@@ -24,6 +24,7 @@ windows (the recurrent/tempo mode).
 
 from __future__ import annotations
 
+import collections
 import functools
 from typing import Dict, Optional, Tuple
 
@@ -116,6 +117,7 @@ class StreamingEvaluator:
         block: int = 1 << 16,
         reset_each_window: bool = True,
         buffer_capacity: int = 1 << 20,
+        pipeline: int = 0,
     ):
         if len(eyes) * nfpdm * 2 != cfg.in_channels:
             raise ValueError(
@@ -133,6 +135,8 @@ class StreamingEvaluator:
         self.window = window
         self.block = block
         self.reset_each_window = reset_each_window
+        self.pipeline = int(pipeline)
+        self._pending: "collections.deque[Array]" = collections.deque()
         self.buffers = {e: EventRingBuffer(buffer_capacity) for e in eyes}
         self._maps = {
             e: (jnp.asarray(maps[e][0], jnp.float32),
@@ -164,6 +168,7 @@ class StreamingEvaluator:
 
     def reset(self) -> None:
         self._state = init_state(self.cfg, 1)
+        self._pending.clear()
 
     def _pad(self, ev: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         n = min(ev.shape[0], self.block)
@@ -173,12 +178,23 @@ class StreamingEvaluator:
         valid[:n] = True
         return out, valid
 
-    def push(self, window_events: Dict[str, np.ndarray]) -> np.ndarray:
-        """Feed one window's events per eye; returns the depth map [H, W, 1].
+    def push(self, window_events: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
+        """Feed one window's events per eye; returns a depth map [H, W, 1].
 
         Static shapes: each eye's events are padded/truncated to ``block``
         rows (truncation keeps the newest events and is counted in
         ``buffers[eye].dropped``).
+
+        With ``pipeline=0`` the returned depth is THIS window's
+        (synchronous: blocks on device compute + the D2H round trip — on a
+        tunneled chip that round trip alone can approach the 50 ms window).
+        With ``pipeline=N >= 1`` the new window is dispatched asynchronously
+        with up to N windows in flight, and the oldest finished depth is
+        fetched and returned once the pipeline is full (``None`` for the
+        first N pushes; :meth:`flush` drains the tail). The fetch overlaps
+        the in-flight device compute, so the steady-state rate approaches
+        the D2H round trip alone, at N windows of extra result latency.
+        The membrane-state carry chains on-device either way.
         """
         evs, valids = {}, {}
         for e in self.eyes:
@@ -193,4 +209,16 @@ class StreamingEvaluator:
         state = (init_state(self.cfg, 1) if self.reset_each_window
                  else self._state)
         depth, self._state = self._step(self.params, state, evs, valids)
-        return np.asarray(depth[0])
+        if not self.pipeline:
+            return np.asarray(depth[0])
+        self._pending.append(depth)
+        if len(self._pending) > self.pipeline:
+            return np.asarray(self._pending.popleft()[0])
+        return None
+
+    def flush(self) -> Optional[np.ndarray]:
+        """Pipelined mode: fetch the oldest in-flight depth (FIFO), or
+        ``None`` when the pipeline is drained."""
+        if not self._pending:
+            return None
+        return np.asarray(self._pending.popleft()[0])

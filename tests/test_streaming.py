@@ -95,3 +95,25 @@ def test_streaming_binocular_channel_layout():
     d = evaluator.push({"left": ev_l, "right": ev_l.copy()})
     assert d.shape == HW + (1,)
     assert np.isfinite(d).all()
+
+
+def test_streaming_pipelined_mode():
+    """pipeline=True returns the previous window's depth (one-window lag),
+    flush() drains the last; values match the synchronous evaluator."""
+    cfg = stereospike_monocular(in_hw=HW, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    windows = [_events(400, HW, 0.0, 0.05, seed=s) for s in (5, 6, 7)]
+
+    sync = StreamingEvaluator(params, cfg, eyes=("left",), block=512,
+                              reset_each_window=False)
+    expected = [sync.push({"left": w}) for w in windows]
+
+    pipe = StreamingEvaluator(params, cfg, eyes=("left",), block=512,
+                              reset_each_window=False, pipeline=True)
+    assert pipe.push({"left": windows[0]}) is None
+    d0 = pipe.push({"left": windows[1]})
+    d1 = pipe.push({"left": windows[2]})
+    d2 = pipe.flush()
+    assert pipe.flush() is None
+    for got, exp in zip((d0, d1, d2), expected):
+        np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
