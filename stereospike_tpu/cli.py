@@ -8,6 +8,7 @@ adapt them to your needs"; train.py:60-68) with subcommands over a
     eval          offline test-set evaluation from a checkpoint
     firing-rates  per-layer spike-density profiling (calculate_firing_rates)
     bench         single-chip training-throughput benchmark
+    stream        low-latency streaming serving (events in, depth maps out)
 
 ``--synthetic`` runs any command on a generated on-disk fixture — no MVSEC
 download needed. ``--config file.json`` loads a saved config; flags override.
@@ -87,6 +88,7 @@ def main(argv=None) -> int:
         ("eval", "evaluate a checkpoint on the test set"),
         ("firing-rates", "profile per-layer spike densities"),
         ("bench", "measure training throughput"),
+        ("stream", "streaming serving: events in, depth maps out"),
     ]:
         p = sub.add_parser(name, help=helptext)
         p.add_argument("--config", type=str, default=None,
@@ -97,6 +99,15 @@ def main(argv=None) -> int:
                        help="stop after N optimizer steps (smoke runs)")
         p.add_argument("--save-config", type=str, default=None,
                        help="write the resolved config to this path and exit")
+        if name == "stream":
+            p.add_argument("--events-dir", type=str, default=None,
+                           help="DENSE-format events/data dir (one .npy "
+                                "TXYP file per window; monocular)")
+            p.add_argument("--n-windows", type=int, default=20)
+            p.add_argument("--pipeline", type=int, default=1,
+                           help="windows in flight (0 = synchronous)")
+            p.add_argument("--save-video", type=str, default=None,
+                           help="write the served depth maps to this mp4")
         _add_config_flags(p)
 
     args = parser.parse_args(argv)
@@ -134,6 +145,13 @@ def main(argv=None) -> int:
         import bench as bench_mod  # repo-root bench.py
 
         bench_mod.main()
+    elif args.command == "stream":
+        from stereospike_tpu.train.loop import stream_loop
+
+        print(json.dumps(stream_loop(
+            cfg, synthetic=args.synthetic, events_dir=args.events_dir,
+            n_windows=args.n_windows, pipeline=args.pipeline,
+            save_video=args.save_video)))
     return 0
 
 

@@ -31,9 +31,12 @@ def stereospike_tempo(use_plif: bool = True, tau: float = 3.0,
 
 def stereospike_monocular(use_plif: bool = True, tau: float = 3.0,
                           multiply_factor: float = 10.0, **overrides) -> StereoSpikeConfig:
-    """Monocular (single-DVS, 2-channel) variant (SNN_models.py:438)."""
+    """Monocular (single-DVS, 2-channel) variant (SNN_models.py:438).
+
+    ``in_channels`` may be overridden (the driver passes the per-step
+    channel count for nfpdm/chunk stacking, train/loop.py::_in_channels)."""
+    overrides.setdefault("in_channels", 2)
     return StereoSpikeConfig(
-        in_channels=2,
         neuron="plif" if use_plif else "lif",
         tau=tau,
         multiply_factor=multiply_factor,

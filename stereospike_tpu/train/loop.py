@@ -453,6 +453,103 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
     return out
 
 
+def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
+                events_dir: Optional[str] = None, n_windows: int = 20,
+                pipeline: int = 1, events_per_window: int = 20000,
+                save_video: Optional[str] = None,
+                which: str = "best.msgpack") -> Dict:
+    """Streaming-serving driver: feed event windows through the
+    :class:`~stereospike_tpu.streaming.StreamingEvaluator` (the low-latency
+    B=1 mode the reference's dataset-replay eval never had).
+
+    Sources: ``synthetic`` random windows, or ``events_dir`` — a
+    DENSE-format ``events/data/*.npy`` directory (TXYP, one file per
+    window; monocular). Writes per-window latencies to JSONL and optionally
+    a depth-map mp4.
+    """
+    if is_ann_model(cfg.model):
+        raise ValueError("streaming serves the stateful SNN models")
+    from stereospike_tpu.streaming import StreamingEvaluator
+
+    model_cfg = build_model_config(cfg)
+    binocular = cfg.model != "stereospike_monocular"
+    params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
+    if has_checkpoint(cfg.checkpoint_dir, which):
+        params = restore_params(cfg.checkpoint_dir, params, which)
+
+    h, w = cfg.in_hw
+    eyes = ("left", "right") if binocular else ("left",)
+
+    def synthetic_window(seed: int):
+        r = np.random.default_rng(seed)
+        n = events_per_window
+        return {eye: np.stack([
+            r.integers(0, w, n).astype(np.float32),
+            r.integers(0, h, n).astype(np.float32),
+            np.sort(r.uniform(0, 0.05, n)).astype(np.float32),
+            r.choice([0.0, 1.0], n).astype(np.float32)], axis=1)
+            for eye in eyes}
+
+    if events_dir is not None:
+        files = sorted(f for f in os.listdir(events_dir) if f.endswith(".npy"))
+        if binocular:
+            raise ValueError("events_dir is a monocular (DENSE-format) "
+                             "source; use model=stereospike_monocular")
+
+        def windows():
+            for f in files[:n_windows]:
+                aer = np.load(os.path.join(events_dir, f))  # TXYP
+                ev = np.stack([aer[:, 1], aer[:, 2],
+                               aer[:, 0] - aer[0, 0], aer[:, 3]], axis=1)
+                yield {"left": ev.astype(np.float32)}
+    else:
+        if not synthetic:
+            raise ValueError("need --synthetic or an events_dir source")
+
+        def windows():
+            for i in range(n_windows):
+                yield synthetic_window(cfg.seed + i)
+
+    evaluator = StreamingEvaluator(
+        params, model_cfg, eyes=eyes, nfpdm=cfg.nfpdm,
+        reset_each_window=False, pipeline=pipeline)
+
+    lat, depths = [], []
+    t_prev = time.time()
+    for win in windows():
+        t0 = time.time()
+        d = evaluator.push(win)
+        lat.append(time.time() - t0)
+        if d is not None:
+            depths.append(d)
+    while True:
+        d = evaluator.flush()
+        if d is None:
+            break
+        depths.append(d)
+    lat_ms = np.asarray(lat[1:] or lat) * 1e3  # drop the compile window
+
+    if save_video and depths:
+        from stereospike_tpu.viz import depth_video
+
+        os.makedirs(os.path.dirname(os.path.abspath(save_video)), exist_ok=True)
+        depth_video(np.stack(depths), save_video, fps=20)
+
+    results = {
+        "n_windows": len(depths),
+        "interval_ms_mean": round(float(lat_ms.mean()), 3) if len(lat_ms) else None,
+        "interval_ms_p99": round(float(np.percentile(lat_ms, 99)), 3) if len(lat_ms) else None,
+        "pipeline": pipeline,
+        "dropped_events": int(sum(b.dropped for b in evaluator.buffers.values())),
+        "video": save_video if save_video and depths else None,
+        "total_time_s": round(time.time() - t_prev, 3),
+    }
+    logger = MetricsLogger(cfg.checkpoint_dir, name="stream")
+    logger.log(results)
+    logger.close()
+    return results
+
+
 # ----------------------------------------------------------- ANN baselines
 def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
                     max_steps: Optional[int] = None, data=None) -> Dict:

@@ -264,3 +264,53 @@ def test_dataset_videos(tmp_path):
     event_frames_video(ev_frames, p3, fps=5)
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 0
+
+
+def test_cli_stream_synthetic_and_events_dir(tmp_path):
+    """stream subcommand: synthetic binocular serving, then a DENSE-format
+    events dir through the monocular model, with a depth video."""
+    from stereospike_tpu.cli import main
+    from stereospike_tpu.train.loop import stream_loop
+    from stereospike_tpu.train.config import TrainConfig
+
+    ckpt = str(tmp_path / "s_ckpt")
+    rc = main(["stream", "--synthetic", "--n-windows", "4",
+               "--in-hw", SMALL_HW, "--model", "stereospike_tempo",
+               "--checkpoint-dir", ckpt])
+    assert rc == 0
+    rec = json.loads(open(os.path.join(ckpt, "stream_metrics.jsonl")).readline())
+    assert rec["n_windows"] == 4 and rec["dropped_events"] == 0
+
+    # DENSE-format events dir (TXYP npy per window) through the monocular
+    # model + mp4 output
+    from stereospike_tpu.data import make_dense_fixture
+
+    root = str(tmp_path / "dense")
+    make_dense_fixture(root, hw=(48, 64), n_maps=3, n_events=500)
+    vid = str(tmp_path / "depths.mp4")
+    cfg = TrainConfig(model="stereospike_monocular", in_hw=(48, 64),
+                      checkpoint_dir=str(tmp_path / "s_ckpt2"))
+    out = stream_loop(cfg, events_dir=os.path.join(root, "events", "data"),
+                      n_windows=3, pipeline=1, save_video=vid)
+    assert out["n_windows"] == 3
+    assert os.path.getsize(vid) > 0
+
+    # binocular model rejects a monocular events dir
+    with pytest.raises(ValueError, match="monocular"):
+        stream_loop(TrainConfig(model="stereospike_tempo", in_hw=(48, 64),
+                                checkpoint_dir=str(tmp_path / "s3")),
+                    events_dir=os.path.join(root, "events", "data"))
+
+
+def test_cli_monocular_train_smoke(tmp_path):
+    """model=stereospike_monocular end-to-end through the driver (this path
+    had a latent in_channels factory conflict that only the library-level
+    tests bypassed)."""
+    from stereospike_tpu.cli import main
+
+    ckpt = str(tmp_path / "mono_ckpt")
+    rc = main(["train", "--synthetic", "--max-steps", "1", "--epochs", "1",
+               "--in-hw", SMALL_HW, "--batch-size", "2",
+               "--model", "stereospike_monocular", "--checkpoint-dir", ckpt])
+    assert rc == 0
+    assert has_checkpoint(ckpt)
