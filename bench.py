@@ -83,6 +83,20 @@ def main():
         with open(base_path) as f:
             baseline = json.load(f).get("frames_per_sec")
 
+    # absolute utilization next to the throughput ratio: train-step FLOPs
+    # per frame from the committed roofline profile (XLA cost analysis)
+    mfu = tflops = None
+    prof = os.path.join(os.path.dirname(__file__), "benchmarks",
+                        "profile_train_step.json")
+    if os.path.exists(prof):
+        with open(prof) as f:
+            p = json.load(f)
+        flops_per_frame = p["xla_cost_analysis"].get("flops", 0) / p["batch"]
+        peak = p.get("peak_bf16_tflops")
+        if flops_per_frame and peak:
+            tflops = round(fps * flops_per_frame / 1e12, 1)
+            mfu = round(tflops / peak, 4)
+
     print(json.dumps({
         "metric": "event frames/sec/chip (StereoSpike 260x346 train step, fwd+bwd+adam)",
         "value": round(fps, 2),
@@ -92,6 +106,8 @@ def main():
         f"t{t_multi}_scan_fps": round(fps_t_scan, 2),
         f"t{t_multi}_multistep_fps": round(fps_t_ms, 2),
         "multistep_speedup": round(fps_t_ms / fps_t_scan, 3),
+        "sustained_tflops": tflops,
+        "mfu": mfu,
     }))
 
 
