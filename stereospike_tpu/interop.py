@@ -1,0 +1,201 @@
+"""Checkpoint interop with the reference PyTorch implementation.
+
+A user of the reference has trained ``.pth`` checkpoints
+(``torch.save(net.state_dict(), ...)``, reference ``train.py:351``). This
+module maps that state dict onto this framework's parameter pytree — and
+back — so existing checkpoints keep working after the switch.
+
+Key layout of the reference's flagship/variant models (torch derives the
+names from the module tree, ``network/SNN_models.py:63-248`` / ``:251-435``;
+blocks ``network/blocks.py:90-181``):
+
+    bottom.0.weight                   Conv2d [O, I, k, k], bias=False
+    conv{1..4}.0.weight
+    bottleneck.{0,1}.conv{1,2}.0.weight        (SEWResBlock inner convs)
+    bottleneck.{0,1}.sn{1,2}.w                 (PLIF raw leak, if use_plif)
+    deconv{4..1}.0.up.1.weight                 (NNConvUpsampling's conv)
+    predict_depth{4..1}.0.up.1.weight/.bias
+    {site}.2.w                                 (PLIF nodes of the tempo
+                                                variant; IF/LIF have no
+                                                parameters)
+    {site}.1.scale_value                       (learnable MultiplyBy)
+
+Our pytree (``models/stereospike.py::init_params``) holds the same tensors
+as ``{'bottom': {'w': HWIO}, ..., 'sew1': {'conv1': {'w': ...}}, ...,
+'pred{s}': {'w', 'b'}, 'plif': {site: w}}``. Weight layout conversion is
+OIHW ↔ HWIO transposition; the PLIF raw parameter transfers verbatim
+(both sides use ``sigmoid(w) = 1/tau``, SpikingJelly's convention).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from stereospike_tpu.models.stereospike import StereoSpikeConfig
+
+# (our pytree path) <-> (reference state-dict key); conv weights only — bias
+# and PLIF/scale keys are derived from these stems
+_CONV_SITES = [
+    (("bottom",), "bottom.0"),
+    (("conv1",), "conv1.0"),
+    (("conv2",), "conv2.0"),
+    (("conv3",), "conv3.0"),
+    (("conv4",), "conv4.0"),
+    (("sew1", "conv1"), "bottleneck.0.conv1.0"),
+    (("sew1", "conv2"), "bottleneck.0.conv2.0"),
+    (("sew2", "conv1"), "bottleneck.1.conv1.0"),
+    (("sew2", "conv2"), "bottleneck.1.conv2.0"),
+    (("deconv4",), "deconv4.0.up.1"),
+    (("deconv3",), "deconv3.0.up.1"),
+    (("deconv2",), "deconv2.0.up.1"),
+    (("deconv1",), "deconv1.0.up.1"),
+    (("pred4",), "predict_depth4.0.up.1"),
+    (("pred3",), "predict_depth3.0.up.1"),
+    (("pred2",), "predict_depth2.0.up.1"),
+    (("pred1",), "predict_depth1.0.up.1"),
+]
+
+# PLIF node key per site: encoder/decoder nodes sit at Sequential index 2;
+# the SEW blocks name theirs sn1/sn2 (blocks.py:151,158)
+_PLIF_KEYS = {
+    "bottom": "bottom.2.w",
+    "conv1": "conv1.2.w", "conv2": "conv2.2.w",
+    "conv3": "conv3.2.w", "conv4": "conv4.2.w",
+    "deconv4": "deconv4.2.w", "deconv3": "deconv3.2.w",
+    "deconv2": "deconv2.2.w", "deconv1": "deconv1.2.w",
+    "sew1_a": "bottleneck.0.sn1.w", "sew1_b": "bottleneck.0.sn2.w",
+    "sew2_a": "bottleneck.1.sn1.w", "sew2_b": "bottleneck.1.sn2.w",
+}
+
+# learnable MultiplyBy scalar per site (MultiplyBy sits at Sequential
+# index 1 everywhere, incl. inside SEW conv Sequentials and pred heads)
+_SCALE_KEYS = {
+    ("bottom",): "bottom.1.scale_value",
+    ("conv1",): "conv1.1.scale_value",
+    ("conv2",): "conv2.1.scale_value",
+    ("conv3",): "conv3.1.scale_value",
+    ("conv4",): "conv4.1.scale_value",
+    ("sew1", "conv1"): "bottleneck.0.conv1.1.scale_value",
+    ("sew1", "conv2"): "bottleneck.0.conv2.1.scale_value",
+    ("sew2", "conv1"): "bottleneck.1.conv1.1.scale_value",
+    ("sew2", "conv2"): "bottleneck.1.conv2.1.scale_value",
+    ("deconv4",): "deconv4.1.scale_value",
+    ("deconv3",): "deconv3.1.scale_value",
+    ("deconv2",): "deconv2.1.scale_value",
+    ("deconv1",): "deconv1.1.scale_value",
+    ("pred4",): "predict_depth4.1.scale_value",
+    ("pred3",): "predict_depth3.1.scale_value",
+    ("pred2",): "predict_depth2.1.scale_value",
+    ("pred1",): "predict_depth1.1.scale_value",
+}
+
+
+def _get(tree: Dict, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _set(tree: Dict, path, value):
+    for p in path[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[path[-1]] = value
+
+
+def _np(x) -> np.ndarray:
+    # torch tensors expose .detach().cpu().numpy(); arrays pass through
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def params_from_torch_state_dict(
+    state_dict: Mapping[str, "np.ndarray"],
+    cfg: StereoSpikeConfig,
+    *,
+    strict: bool = True,
+) -> Dict:
+    """Convert a reference ``state_dict`` (torch tensors or arrays) into
+    this framework's parameter pytree for ``cfg``.
+
+    ``strict=True`` raises on reference keys that map to nothing here
+    (catching e.g. an ANN checkpoint fed to the SNN loader).
+    """
+    params: Dict = {}
+    used = set()
+    for path, stem in _CONV_SITES:
+        wk = f"{stem}.weight"
+        if wk not in state_dict:
+            if path[0].startswith("pred") and int(path[0][-1]) not in cfg.heads:
+                continue  # cut-predict ablation has no deepest head
+            raise KeyError(f"reference checkpoint is missing '{wk}'")
+        w = _np(state_dict[wk])
+        if w.ndim != 4:
+            raise ValueError(f"'{wk}' is not a conv weight: shape {w.shape}")
+        _set(params, path + ("w",), jnp.asarray(
+            w.transpose(2, 3, 1, 0), jnp.float32))  # OIHW -> HWIO
+        used.add(wk)
+        bk = f"{stem}.bias"
+        if bk in state_dict:
+            _set(params, path + ("b",), jnp.asarray(_np(state_dict[bk]),
+                                                    jnp.float32))
+            used.add(bk)
+    for site, key in _PLIF_KEYS.items():
+        if key in state_dict:
+            params.setdefault("plif", {})[site] = jnp.asarray(
+                _np(state_dict[key]).reshape(()), jnp.float32)
+            used.add(key)
+    for path, key in _SCALE_KEYS.items():
+        if key in state_dict:
+            _set(params, path + ("scale",), jnp.asarray(
+                _np(state_dict[key]).reshape(1), jnp.float32))
+            used.add(key)
+
+    if strict:
+        unused = sorted(set(state_dict) - used)
+        if unused:
+            raise KeyError(
+                f"reference checkpoint has {len(unused)} unmapped keys "
+                f"(first: {unused[:4]}) — wrong model family?")
+    # shape sanity against the config's own init arithmetic
+    c = cfg.channels
+    expect_bottom = (5, 5, cfg.in_channels, c[0])
+    got = tuple(params["bottom"]["w"].shape)
+    if got != expect_bottom:
+        raise ValueError(
+            f"bottom conv is {got}, config expects {expect_bottom} "
+            f"(in_channels mismatch — monocular vs binocular?)")
+    return params
+
+
+def params_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+    """Export this framework's parameter pytree in the reference's
+    ``state_dict`` key layout (numpy arrays, OIHW weights) — loadable into
+    the reference models via ``load_state_dict`` after ``torch.as_tensor``."""
+    out: Dict[str, np.ndarray] = {}
+    for path, stem in _CONV_SITES:
+        try:
+            leaf = _get(params, path)
+        except KeyError:
+            continue
+        out[f"{stem}.weight"] = np.asarray(
+            leaf["w"], np.float32).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        if "b" in leaf:
+            out[f"{stem}.bias"] = np.asarray(leaf["b"], np.float32)
+        if "scale" in leaf:
+            out[_SCALE_KEYS[path]] = np.asarray(leaf["scale"], np.float32)
+    for site, w in params.get("plif", {}).items():
+        out[_PLIF_KEYS[site]] = np.asarray(w, np.float32).reshape(1)
+    return out
+
+
+def load_torch_checkpoint(path: str, cfg: StereoSpikeConfig,
+                          *, strict: bool = True) -> Dict:
+    """Load a reference ``.pth`` checkpoint file into a parameter pytree."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return params_from_torch_state_dict(sd, cfg, strict=strict)

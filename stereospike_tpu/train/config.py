@@ -77,6 +77,11 @@ class TrainConfig:
     # (0 = off) — training-time spike-activity observability
     log_firing_rates: int = 0
 
+    # initialize model params from a reference-implementation .pth
+    # checkpoint (torch state_dict, train.py:351) via interop.py — lets a
+    # reference user bring their trained weights along
+    import_pth: Optional[str] = None
+
     # runtime
     seed: int = 2021                  # train.py:53
     compute_dtype: str = "float32"    # or "bfloat16" for MXU-speed training

@@ -185,6 +185,19 @@ def _save_viz_panel(path: str, batch: Dict, depth, title: str) -> None:
                title=title)
 
 
+def _load_params(cfg: TrainConfig, model_cfg, which: str):
+    """Inference-loop params: a reference .pth (``import_pth``) wins, else
+    the run's checkpoint, else fresh init (interop.py key mapping)."""
+    if cfg.import_pth:
+        from stereospike_tpu.interop import load_torch_checkpoint
+
+        return load_torch_checkpoint(cfg.import_pth, model_cfg)
+    params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
+    if has_checkpoint(cfg.checkpoint_dir, which):
+        params = restore_params(cfg.checkpoint_dir, params, which)
+    return params
+
+
 def train_loop(
     cfg: TrainConfig,
     *,
@@ -225,6 +238,12 @@ def train_loop(
     rng = jax.random.PRNGKey(cfg.seed)
     k_init, k_state = jax.random.split(rng)
     params = init_params(k_init, model_cfg)
+    if cfg.import_pth:
+        # warm-start from a reference torch checkpoint (interop.py); a
+        # resume from this run's own checkpoint below still takes priority
+        from stereospike_tpu.interop import load_torch_checkpoint
+
+        params = load_torch_checkpoint(cfg.import_pth, model_cfg)
     state = create_train_state(params, tx, k_state)
 
     if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
@@ -375,9 +394,7 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
     binocular = cfg.model != "stereospike_monocular"
     test_view = _test_view(cfg, synthetic, data)
 
-    params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
-    if has_checkpoint(cfg.checkpoint_dir, which):
-        params = restore_params(cfg.checkpoint_dir, params, which)
+    params = _load_params(cfg, model_cfg, which)
 
     eval_step = jax.jit(make_eval_step(model_cfg, loss_cfg,
                                        learn_on=cfg.learn_on,
@@ -417,9 +434,7 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
     binocular = cfg.model != "stereospike_monocular"
     test_view = _test_view(cfg, synthetic, data)
 
-    params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
-    if has_checkpoint(cfg.checkpoint_dir, which):
-        params = restore_params(cfg.checkpoint_dir, params, which)
+    params = _load_params(cfg, model_cfg, which)
 
     # ONE forward per batch returning all 14 tap densities, stacked on
     # device and fetched once (D2H round-trips through the device tunnel are
@@ -473,9 +488,7 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
 
     model_cfg = build_model_config(cfg)
     binocular = cfg.model != "stereospike_monocular"
-    params = init_params(jax.random.PRNGKey(cfg.seed), model_cfg)
-    if has_checkpoint(cfg.checkpoint_dir, which):
-        params = restore_params(cfg.checkpoint_dir, params, which)
+    params = _load_params(cfg, model_cfg, which)
 
     h, w = cfg.in_hw
     eyes = ("left", "right") if binocular else ("left",)

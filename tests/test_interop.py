@@ -1,0 +1,139 @@
+"""Reference-checkpoint interop: torch state_dict ↔ parameter pytree.
+
+Pins the key mapping and the OIHW↔HWIO orientation against torch itself
+(the orientation oracle builds a real ``torch.nn.Conv2d`` from the exported
+weight and compares outputs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from stereospike_tpu.interop import (
+    load_torch_checkpoint,
+    params_from_torch_state_dict,
+    params_to_torch_state_dict,
+)
+from stereospike_tpu.models import forward, init_params
+from stereospike_tpu.models.factory import (
+    stereospike,
+    stereospike_cutpredict,
+    stereospike_tempo,
+)
+from stereospike_tpu.nn.layers import conv2d
+
+
+@pytest.mark.parametrize("factory,learnable", [
+    (stereospike, False),
+    (stereospike_tempo, False),
+    (stereospike_tempo, True),
+    (stereospike_cutpredict, False),
+])
+def test_state_dict_round_trip(factory, learnable):
+    cfg = factory(in_hw=(64, 88))
+    if learnable:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, learnable_multiply=True,
+                                  multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    sd = params_to_torch_state_dict(params)
+    back = params_from_torch_state_dict(sd, cfg)
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert [k for k, _ in flat1] == [k for k, _ in flat2]
+    for (k, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(k))
+
+
+def test_reference_key_layout_and_orientation():
+    """Exported keys follow the reference module tree, and the exported
+    OIHW weight drives a real torch Conv2d to the same numbers as ours."""
+    cfg = stereospike_tempo(in_hw=(64, 88))
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    sd = params_to_torch_state_dict(params)
+
+    # reference key spellings (SNN_models.py module tree)
+    for key in ("bottom.0.weight", "conv4.0.weight",
+                "bottleneck.0.conv1.0.weight", "bottleneck.1.conv2.0.weight",
+                "deconv1.0.up.1.weight", "predict_depth1.0.up.1.weight",
+                "predict_depth1.0.up.1.bias",
+                "bottom.2.w", "bottleneck.0.sn1.w"):
+        assert key in sd, key
+    assert sd["bottom.0.weight"].shape == (32, 4, 5, 5)          # OIHW
+    assert sd["deconv1.0.up.1.weight"].shape == (32, 64, 5, 5)
+
+    # orientation oracle: torch conv with the exported weight == our conv2d
+    m = torch.nn.Conv2d(4, 32, 5, stride=1, padding=2, bias=False)
+    with torch.no_grad():
+        m.weight.copy_(torch.as_tensor(sd["bottom.0.weight"]))
+    x = np.random.default_rng(0).normal(size=(2, 4, 16, 20)).astype(np.float32)
+    ref = m(torch.as_tensor(x)).detach().numpy()
+    ours = conv2d(jnp.asarray(x.transpose(0, 2, 3, 1)),
+                  params["bottom"]["w"], stride=1, padding=2)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pth_file_load_and_forward():
+    cfg = stereospike(in_hw=(64, 88))
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    sd = {k: torch.as_tensor(v) for k, v in
+          params_to_torch_state_dict(params).items()}
+    import tempfile, os
+
+    path = os.path.join(tempfile.mkdtemp(), "stereospike.pth")
+    torch.save(sd, path)
+    loaded = load_torch_checkpoint(path, cfg)
+    frame = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 88, 4))
+    d1, _, _ = forward(params, frame, cfg)
+    d2, _, _ = forward(loaded, frame, cfg)
+    np.testing.assert_array_equal(np.asarray(d1[0]), np.asarray(d2[0]))
+
+
+def test_strict_rejects_foreign_and_mismatched():
+    cfg = stereospike(in_hw=(64, 88))
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    sd = params_to_torch_state_dict(params)
+
+    sd_extra = dict(sd, **{"some.ann.bn.running_mean": np.zeros(32)})
+    with pytest.raises(KeyError, match="unmapped"):
+        params_from_torch_state_dict(sd_extra, cfg)
+    # non-strict tolerates the stray key
+    params_from_torch_state_dict(sd_extra, cfg, strict=False)
+
+    with pytest.raises(KeyError, match="missing"):
+        params_from_torch_state_dict(
+            {k: v for k, v in sd.items() if k != "conv2.0.weight"}, cfg)
+
+    # binocular checkpoint into a monocular config
+    from stereospike_tpu.models.factory import stereospike_monocular
+
+    with pytest.raises(ValueError, match="monocular"):
+        params_from_torch_state_dict(sd, stereospike_monocular(in_hw=(64, 88)))
+
+
+def test_driver_import_pth(tmp_path):
+    """--import-pth on the eval driver: a reference .pth drives eval."""
+    import os
+
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import eval_loop
+
+    cfg = TrainConfig(model="stereospike_tempo", in_hw=(48, 64),
+                      batch_size=2, multiply_factor=10.0,
+                      checkpoint_dir=str(tmp_path / "ck"))
+    from stereospike_tpu.train.loop import build_model_config
+
+    model_cfg = build_model_config(cfg)
+    params = init_params(jax.random.PRNGKey(7), model_cfg)
+    sd = {k: torch.as_tensor(v) for k, v in
+          params_to_torch_state_dict(params).items()}
+    pth = str(tmp_path / "ref.pth")
+    torch.save(sd, pth)
+
+    out = eval_loop(
+        TrainConfig(**{**cfg.__dict__, "import_pth": pth}), synthetic=True)
+    assert np.isfinite(out["test_loss"]) and out["n_batches"] > 0
