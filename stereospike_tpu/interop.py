@@ -199,3 +199,121 @@ def load_torch_checkpoint(path: str, cfg: StereoSpikeConfig,
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return params_from_torch_state_dict(sd, cfg, strict=strict)
+
+
+# ------------------------------------------------------------ ANN baseline
+# The equivalent-ANN's module tree (``network/ANN_models.py:28-152``):
+# conv Sequentials are (Conv2d, activation, BatchNorm2d) so the BN sits at
+# index 2; the ResBlock's inner Sequentials likewise; the prediction heads
+# have no MultiplyBy (plain NNConvUpsampling at index 0). Note the
+# reference's committed ``test.py:80-84`` actually evaluates THIS model's
+# checkpoint, so ANN interop matters in practice.
+_ANN_CONV_SITES = [
+    (("bottom",), "bottom.0"),
+    (("conv1",), "conv1.0"),
+    (("conv2",), "conv2.0"),
+    (("conv3",), "conv3.0"),
+    (("conv4",), "conv4.0"),
+    (("res1", "conv1"), "bottleneck.0.conv1.0"),
+    (("res1", "conv2"), "bottleneck.0.conv2.0"),
+    (("res2", "conv1"), "bottleneck.1.conv1.0"),
+    (("res2", "conv2"), "bottleneck.1.conv2.0"),
+    (("deconv4",), "deconv4.0.up.1"),
+    (("deconv3",), "deconv3.0.up.1"),
+    (("deconv2",), "deconv2.0.up.1"),
+    (("deconv1",), "deconv1.0.up.1"),
+    (("pred4",), "predict_depth4.0.up.1"),
+    (("pred3",), "predict_depth3.0.up.1"),
+    (("pred2",), "predict_depth2.0.up.1"),
+    (("pred1",), "predict_depth1.0.up.1"),
+]
+
+# (params path = where gamma/beta live, state path = running stats, stem)
+_ANN_BN_SITES = [
+    (("bn_bottom",), ("bn_bottom",), "bottom.2"),
+    (("bn_conv1",), ("bn_conv1",), "conv1.2"),
+    (("bn_conv2",), ("bn_conv2",), "conv2.2"),
+    (("bn_conv3",), ("bn_conv3",), "conv3.2"),
+    (("bn_conv4",), ("bn_conv4",), "conv4.2"),
+    (("res1", "bn1"), ("res1", "bn1"), "bottleneck.0.conv1.2"),
+    (("res1", "bn2"), ("res1", "bn2"), "bottleneck.0.conv2.2"),
+    (("res2", "bn1"), ("res2", "bn1"), "bottleneck.1.conv1.2"),
+    (("res2", "bn2"), ("res2", "bn2"), "bottleneck.1.conv2.2"),
+    (("bn_deconv4",), ("bn_deconv4",), "deconv4.2"),
+    (("bn_deconv3",), ("bn_deconv3",), "deconv3.2"),
+    (("bn_deconv2",), ("bn_deconv2",), "deconv2.2"),
+    (("bn_deconv1",), ("bn_deconv1",), "deconv1.2"),
+]
+
+
+def ann_params_from_torch_state_dict(
+    state_dict: Mapping[str, "np.ndarray"],
+    *,
+    strict: bool = True,
+) -> tuple:
+    """Reference ``StereoSpike_equivalentANN`` state dict →
+    ``(params, bn_state)`` pytrees (``models/ann.py`` layout)."""
+    params: Dict = {}
+    bn_state: Dict = {}
+    used = set()
+    for path, stem in _ANN_CONV_SITES:
+        wk = f"{stem}.weight"
+        if wk not in state_dict:
+            raise KeyError(f"ANN checkpoint is missing '{wk}'")
+        w = _np(state_dict[wk])
+        _set(params, path + ("w",), jnp.asarray(w.transpose(2, 3, 1, 0),
+                                                jnp.float32))
+        used.add(wk)
+        bk = f"{stem}.bias"
+        if bk in state_dict:
+            _set(params, path + ("b",), jnp.asarray(_np(state_dict[bk]),
+                                                    jnp.float32))
+            used.add(bk)
+    for ppath, spath, stem in _ANN_BN_SITES:
+        _set(params, ppath + ("gamma",), jnp.asarray(
+            _np(state_dict[f"{stem}.weight"]), jnp.float32))
+        _set(params, ppath + ("beta",), jnp.asarray(
+            _np(state_dict[f"{stem}.bias"]), jnp.float32))
+        _set(bn_state, spath + ("mean",), jnp.asarray(
+            _np(state_dict[f"{stem}.running_mean"]), jnp.float32))
+        _set(bn_state, spath + ("var",), jnp.asarray(
+            _np(state_dict[f"{stem}.running_var"]), jnp.float32))
+        used.update(f"{stem}.{s}" for s in
+                    ("weight", "bias", "running_mean", "running_var"))
+        used.add(f"{stem}.num_batches_tracked")  # torch bookkeeping; unused
+    if strict:
+        unused = sorted(set(state_dict) - used)
+        if unused:
+            raise KeyError(
+                f"ANN checkpoint has {len(unused)} unmapped keys "
+                f"(first: {unused[:4]}) — is this an SNN checkpoint?")
+    return params, bn_state
+
+
+def ann_params_to_torch_state_dict(params: Dict,
+                                   bn_state: Dict) -> Dict[str, np.ndarray]:
+    """``(params, bn_state)`` → reference ANN ``state_dict`` layout."""
+    out: Dict[str, np.ndarray] = {}
+    for path, stem in _ANN_CONV_SITES:
+        leaf = _get(params, path)
+        out[f"{stem}.weight"] = np.asarray(
+            leaf["w"], np.float32).transpose(3, 2, 0, 1)
+        if "b" in leaf:
+            out[f"{stem}.bias"] = np.asarray(leaf["b"], np.float32)
+    for ppath, spath, stem in _ANN_BN_SITES:
+        bn = _get(params, ppath)
+        st = _get(bn_state, spath)
+        out[f"{stem}.weight"] = np.asarray(bn["gamma"], np.float32)
+        out[f"{stem}.bias"] = np.asarray(bn["beta"], np.float32)
+        out[f"{stem}.running_mean"] = np.asarray(st["mean"], np.float32)
+        out[f"{stem}.running_var"] = np.asarray(st["var"], np.float32)
+        out[f"{stem}.num_batches_tracked"] = np.asarray(0, np.int64)
+    return out
+
+
+def load_torch_ann_checkpoint(path: str, *, strict: bool = True) -> tuple:
+    """Load a reference ANN ``.pth`` file → ``(params, bn_state)``."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return ann_params_from_torch_state_dict(sd, strict=strict)

@@ -584,7 +584,13 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     tx = make_optimizer(sched, cfg.weight_decay)
 
     params = init_ann_params(jax.random.PRNGKey(cfg.seed), ann_cfg)
-    state = create_ann_train_state(params, init_ann_state(ann_cfg), tx)
+    ann_bn = init_ann_state(ann_cfg)
+    if cfg.import_pth:
+        # warm-start from a reference ANN .pth (interop.py)
+        from stereospike_tpu.interop import load_torch_ann_checkpoint
+
+        params, ann_bn = load_torch_ann_checkpoint(cfg.import_pth)
+    state = create_ann_train_state(params, ann_bn, tx)
     if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
         state = restore_checkpoint(cfg.checkpoint_dir, state)
 
@@ -657,12 +663,20 @@ def _ann_eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
     loss_cfg = _loss_config(cfg)
     test_view = _test_view(cfg, synthetic, data)
 
-    params = init_ann_params(jax.random.PRNGKey(cfg.seed), ann_cfg)
-    bn_state = init_ann_state(ann_cfg)
-    if has_checkpoint(cfg.checkpoint_dir, which):
-        restored = restore_fields(
-            cfg.checkpoint_dir, {"params": params, "bn_state": bn_state}, which)
-        params, bn_state = restored["params"], restored["bn_state"]
+    if cfg.import_pth:
+        # reference ANN checkpoint (the committed test.py:80-84 evaluates
+        # exactly this model) — interop.py key mapping
+        from stereospike_tpu.interop import load_torch_ann_checkpoint
+
+        params, bn_state = load_torch_ann_checkpoint(cfg.import_pth)
+    else:
+        params = init_ann_params(jax.random.PRNGKey(cfg.seed), ann_cfg)
+        bn_state = init_ann_state(ann_cfg)
+        if has_checkpoint(cfg.checkpoint_dir, which):
+            restored = restore_fields(
+                cfg.checkpoint_dir,
+                {"params": params, "bn_state": bn_state}, which)
+            params, bn_state = restored["params"], restored["bn_state"]
 
     eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
                                            learn_on=cfg.learn_on))

@@ -137,3 +137,62 @@ def test_driver_import_pth(tmp_path):
     out = eval_loop(
         TrainConfig(**{**cfg.__dict__, "import_pth": pth}), synthetic=True)
     assert np.isfinite(out["test_loss"]) and out["n_batches"] > 0
+
+
+def test_ann_state_dict_round_trip_and_driver():
+    """ANN interop: round trip + reference key layout + driver eval from a
+    .pth (the reference's committed test.py evaluates the ANN checkpoint)."""
+    import tempfile, os
+
+    from stereospike_tpu.interop import (
+        ann_params_from_torch_state_dict,
+        ann_params_to_torch_state_dict,
+    )
+    from stereospike_tpu.models.ann import (
+        AnnConfig,
+        init_ann_params,
+        init_ann_state,
+    )
+
+    cfg = AnnConfig(in_hw=(64, 88))
+    params = init_ann_params(jax.random.PRNGKey(0), cfg)
+    bn_state = init_ann_state(cfg)
+    sd = ann_params_to_torch_state_dict(params, bn_state)
+
+    # reference module-tree key spellings (ANN_models.py: BN at index 2)
+    for key in ("bottom.0.weight", "bottom.0.bias", "bottom.2.running_mean",
+                "bottleneck.0.conv1.0.weight", "bottleneck.1.conv2.2.weight",
+                "deconv1.0.up.1.weight", "deconv1.2.running_var",
+                "predict_depth1.0.up.1.bias"):
+        assert key in sd, key
+
+    p2, s2 = ann_params_from_torch_state_dict(sd)
+    for tree_a, tree_b in ((params, p2), (bn_state, s2)):
+        flat1 = jax.tree_util.tree_flatten_with_path(tree_a)[0]
+        flat2 = jax.tree_util.tree_flatten_with_path(tree_b)[0]
+        assert [k for k, _ in flat1] == [k for k, _ in flat2]
+        for (k, a), (_, b) in zip(flat1, flat2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(k))
+
+    # SNN loader must reject an ANN checkpoint
+    with pytest.raises(KeyError):
+        params_from_torch_state_dict(sd, stereospike(in_hw=(64, 88)))
+    # ANN loader must reject an SNN checkpoint
+    snn_sd = params_to_torch_state_dict(
+        init_params(jax.random.PRNGKey(1), stereospike(in_hw=(64, 88))))
+    with pytest.raises(KeyError):
+        ann_params_from_torch_state_dict(snn_sd)
+
+    # driver: eval an exported ANN .pth
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import eval_loop
+
+    tmp = tempfile.mkdtemp()
+    pth = os.path.join(tmp, "ann.pth")
+    torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, pth)
+    out = eval_loop(TrainConfig(model="ann_sigmoid", in_hw=(64, 88),
+                                batch_size=2, import_pth=pth,
+                                checkpoint_dir=os.path.join(tmp, "ck")),
+                    synthetic=True)
+    assert np.isfinite(out["test_loss"]) and out["n_batches"] > 0
