@@ -314,3 +314,25 @@ def test_cli_monocular_train_smoke(tmp_path):
                "--model", "stereospike_monocular", "--checkpoint-dir", ckpt])
     assert rc == 0
     assert has_checkpoint(ckpt)
+
+
+@pytest.mark.parametrize("name", ["mvsec_split1_paper.json",
+                                  "mvsec_split1_tpu.json"])
+def test_paper_run_configs_stay_valid(name, tmp_path):
+    """The committed MVSEC runbook configs must keep parsing into
+    TrainConfig (guards against config-field drift) and drive the training
+    loop (1 synthetic step at reduced resolution)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = TrainConfig.from_json(open(os.path.join(root, "configs", name)).read())
+    # the exact paper recipe (reference train.py:60-68, :126-128)
+    assert cfg.seed == 2021 and cfg.learning_rate == 2e-4
+    assert cfg.lr_milestones == (8, 42, 60) and cfg.lr_gamma == 0.5
+    assert cfg.epochs == 70 and cfg.augment and cfg.learn_on == "LIN"
+    assert cfg.model == "stereospike_tempo" and cfg.in_hw == (260, 346)
+
+    from stereospike_tpu.train.loop import train_loop
+
+    small = dataclasses.replace(cfg, in_hw=(48, 64), batch_size=2, epochs=1,
+                                checkpoint_dir=str(tmp_path / "ck"))
+    summary = train_loop(small, synthetic=True, max_steps=1)
+    assert np.isfinite(summary["train_loss"])
