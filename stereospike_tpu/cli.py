@@ -108,6 +108,9 @@ def main(argv=None) -> int:
                            help="windows in flight (0 = synchronous)")
             p.add_argument("--save-video", type=str, default=None,
                            help="write the served depth maps to this mp4")
+            p.add_argument("--aer-format", type=str, default="TXYP",
+                           choices=("TXYP", "XYTP"),
+                           help="column order of the events-dir .npy files")
         _add_config_flags(p)
 
     args = parser.parse_args(argv)
@@ -151,7 +154,7 @@ def main(argv=None) -> int:
         print(json.dumps(stream_loop(
             cfg, synthetic=args.synthetic, events_dir=args.events_dir,
             n_windows=args.n_windows, pipeline=args.pipeline,
-            save_video=args.save_video)))
+            save_video=args.save_video, aer_format=args.aer_format)))
     return 0
 
 

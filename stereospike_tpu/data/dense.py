@@ -40,6 +40,20 @@ class DenseDataset:
                 "mask": self.masks[i]}
 
 
+def aer_to_xytp(aer: np.ndarray, aer_format: str = "TXYP") -> np.ndarray:
+    """Reorder an AER quadruplet array to the voxelizer's XYTP convention.
+
+    ``aer_format``: ``'TXYP'`` (the reference driver's default,
+    ``dense_dataset.py:141``) or ``'XYTP'`` (the alternate layout
+    ``AERtoEVFrame`` accepts, ``dense_dataset.py:60-71``).
+    """
+    if aer_format == "TXYP":
+        return np.stack([aer[:, 1], aer[:, 2], aer[:, 0], aer[:, 3]], axis=1)
+    if aer_format == "XYTP":
+        return np.asarray(aer)
+    raise ValueError(f"unknown AER format {aer_format!r}")
+
+
 def load_dense(
     root: str,
     *,
@@ -53,9 +67,8 @@ def load_dense(
     """Load a DENSE sequence directory (``events/data/*.npy`` +
     ``depth/data/*.npy``).
 
-    ``aer_format``: column order of the .npy AER quadruplets — ``'TXYP'``
-    (the reference driver's default, ``dense_dataset.py:141``) or ``'XYTP'``
-    (the alternate layout ``AERtoEVFrame`` accepts, ``dense_dataset.py:60-71``).
+    ``aer_format``: column order of the .npy AER quadruplets (see
+    :func:`aer_to_xytp`).
     """
     if aer_format not in ("TXYP", "XYTP"):
         raise ValueError(f"unknown AER format {aer_format!r}")
@@ -67,12 +80,7 @@ def load_dense(
 
     chunks, labels = [], []
     for ev_f, d_f in zip(ev_files, d_files):
-        aer = np.load(os.path.join(ev_dir, ev_f))
-        if aer_format == "TXYP":
-            # reorder to the voxelizer's XYTP convention
-            ev = np.stack([aer[:, 1], aer[:, 2], aer[:, 0], aer[:, 3]], axis=1)
-        else:  # already XYTP
-            ev = aer
+        ev = aer_to_xytp(np.load(os.path.join(ev_dir, ev_f)), aer_format)
         t0, t1 = float(ev[0, 2]), float(ev[-1, 2])
         dt = max((t1 - t0) / nfpdm, 1e-9)
         frames = rectify_bin_events(

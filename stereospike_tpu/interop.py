@@ -154,13 +154,9 @@ def params_from_torch_state_dict(
                 _np(state_dict[key]).reshape(1), jnp.float32))
             used.add(key)
 
-    if strict:
-        unused = sorted(set(state_dict) - used)
-        if unused:
-            raise KeyError(
-                f"reference checkpoint has {len(unused)} unmapped keys "
-                f"(first: {unused[:4]}) — wrong model family?")
-    # shape sanity against the config's own init arithmetic
+    # shape sanity against the config's own init arithmetic (checked before
+    # the strict-mode coherence checks: a channel-count mismatch is the more
+    # fundamental error)
     c = cfg.channels
     expect_bottom = (5, 5, cfg.in_channels, c[0])
     got = tuple(params["bottom"]["w"].shape)
@@ -168,6 +164,36 @@ def params_from_torch_state_dict(
         raise ValueError(
             f"bottom conv is {got}, config expects {expect_bottom} "
             f"(in_channels mismatch — monocular vs binocular?)")
+    if strict:
+        unused = sorted(set(state_dict) - used)
+        if unused:
+            raise KeyError(
+                f"reference checkpoint has {len(unused)} unmapped keys "
+                f"(first: {unused[:4]}) — wrong model family?")
+        # the config's neuron choice must agree with the checkpoint's PLIF
+        # parameters: a use_plif=False reference checkpoint has no encoder/
+        # decoder .w keys (LIFNode is parameterless; only the SEW blocks'
+        # sn*.w always exist since SEWResBlock hardcodes PLIF in the tempo
+        # variant), and the mismatch would otherwise only crash deep inside
+        # the jitted forward — or silently discard learned taus
+        loaded_plif = set(params.get("plif", {}))
+        required = set()
+        if cfg.neuron == "plif":
+            required |= {s for s in _PLIF_KEYS if not s.startswith("sew")}
+        if cfg.effective_sew_neuron == "plif":
+            required |= {s for s in _PLIF_KEYS if s.startswith("sew")}
+        missing = sorted(required - loaded_plif)
+        if missing:
+            raise ValueError(
+                f"config expects PLIF parameters at {missing[:4]}... but the "
+                "checkpoint has none there — it was trained with "
+                "use_plif=False (load with a matching lif/if config)")
+        extra = sorted(loaded_plif - required)
+        if extra:
+            raise ValueError(
+                f"checkpoint carries learned PLIF taus at {extra[:4]}... that "
+                f"this config (neuron={cfg.neuron!r}) would silently ignore — "
+                "load with a use_plif=True config")
     return params
 
 
@@ -188,7 +214,9 @@ def params_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
         if "scale" in leaf:
             out[_SCALE_KEYS[path]] = np.asarray(leaf["scale"], np.float32)
     for site, w in params.get("plif", {}).items():
-        out[_PLIF_KEYS[site]] = np.asarray(w, np.float32).reshape(1)
+        # SpikingJelly's ParametricLIFNode.w is a 0-dim Parameter: a [1]
+        # export would fail the reference's load_state_dict size check
+        out[_PLIF_KEYS[site]] = np.asarray(w, np.float32).reshape(())
     return out
 
 

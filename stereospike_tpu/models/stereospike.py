@@ -110,6 +110,15 @@ class StereoSpikeConfig:
             out.append((h, w))
         return tuple(out)
 
+    def for_inference(self) -> "StereoSpikeConfig":
+        """The no-grad execution profile: enable the phase-stacked decoder
+        upsample-convs (math-identical, ~2× faster forward-only; slower
+        under BPTT — see ``nn/layers.upsample_conv``). Every inference
+        entry point (eval step, firing-rate profiler, streaming evaluator)
+        should construct its config through this, keeping the policy in
+        one place."""
+        return dataclasses.replace(self, phase_upsample=True)
+
     @property
     def effective_sew_neuron(self) -> str:
         if self.sew_neuron is not None:

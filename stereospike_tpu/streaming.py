@@ -124,11 +124,8 @@ class StreamingEvaluator:
                 f"{len(eyes)} eyes x nfpdm={nfpdm} gives "
                 f"{len(eyes) * nfpdm * 2} channels; model expects "
                 f"{cfg.in_channels}")
-        # serving is forward-only: enable the phase-stacked decoder form
-        # (math-identical, ~2× faster no-grad — see nn/layers.upsample_conv)
-        import dataclasses as _dc
-
-        self.cfg = _dc.replace(cfg, phase_upsample=True)
+        # serving is forward-only: run the inference execution profile
+        self.cfg = cfg.for_inference()
         self.params = params
         self.eyes = eyes
         self.nfpdm = nfpdm

@@ -438,10 +438,8 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
 
     # ONE forward per batch returning all 14 tap densities, stacked on
     # device and fetched once (D2H round-trips through the device tunnel are
-    # the expensive part here). No-grad → phase-stacked decoder form.
-    import dataclasses as _dc
-
-    rates_cfg = _dc.replace(model_cfg, phase_upsample=True)
+    # the expensive part here). No-grad → inference execution profile.
+    rates_cfg = model_cfg.for_inference()
 
     def _rates(p, frame):
         taps = firing_rates(p, frame, rates_cfg)
@@ -471,7 +469,7 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
 def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 events_dir: Optional[str] = None, n_windows: int = 20,
                 pipeline: int = 1, events_per_window: int = 20000,
-                save_video: Optional[str] = None,
+                save_video: Optional[str] = None, aer_format: str = "TXYP",
                 which: str = "best.msgpack") -> Dict:
     """Streaming-serving driver: feed event windows through the
     :class:`~stereospike_tpu.streaming.StreamingEvaluator` (the low-latency
@@ -503,17 +501,28 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
             r.choice([0.0, 1.0], n).astype(np.float32)], axis=1)
             for eye in eyes}
 
+    window_s = 0.05  # the MVSEC 20 Hz cadence (utils.py:6-11)
     if events_dir is not None:
+        from stereospike_tpu.data.dense import aer_to_xytp
+
         files = sorted(f for f in os.listdir(events_dir) if f.endswith(".npy"))
         if binocular:
             raise ValueError("events_dir is a monocular (DENSE-format) "
                              "source; use model=stereospike_monocular")
+        # the evaluator's bin grid is window/nfpdm, baked into its jitted
+        # step — derive the window from the first file's actual time span
+        # (DENSE runs at 30 fps ≈ 33 ms, not the MVSEC 50 ms; a fixed 50 ms
+        # window would mis-bin every file). The tiny headroom keeps the
+        # last event inside the final bin under floor(t/dt) binning.
+        first = aer_to_xytp(np.load(os.path.join(events_dir, files[0])),
+                            aer_format)
+        window_s = max(float(first[-1, 2]) - float(first[0, 2]), 1e-6) * (1 + 1e-6)
 
         def windows():
             for f in files[:n_windows]:
-                aer = np.load(os.path.join(events_dir, f))  # TXYP
-                ev = np.stack([aer[:, 1], aer[:, 2],
-                               aer[:, 0] - aer[0, 0], aer[:, 3]], axis=1)
+                ev = aer_to_xytp(np.load(os.path.join(events_dir, f)),
+                                 aer_format).astype(np.float64)
+                ev[:, 2] -= ev[0, 2]
                 yield {"left": ev.astype(np.float32)}
     else:
         if not synthetic:
@@ -524,7 +533,7 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 yield synthetic_window(cfg.seed + i)
 
     evaluator = StreamingEvaluator(
-        params, model_cfg, eyes=eyes, nfpdm=cfg.nfpdm,
+        params, model_cfg, eyes=eyes, nfpdm=cfg.nfpdm, window=window_s,
         reset_each_window=False, pipeline=pipeline)
 
     lat, depths = [], []

@@ -141,11 +141,9 @@ def make_eval_step(
     """Build ``eval_step(params, batch) -> {'loss', 'mde', 'depth'}``
     (the reference's no-grad val/test body, train.py:275-335 / test.py:101-173).
 
-    No-grad forward: the decoder's phase-stacked upsample-convs are enabled
-    (math-identical, ~2× faster forward-only — see layers.upsample_conv)."""
-    import dataclasses
-
-    model_cfg = dataclasses.replace(model_cfg, phase_upsample=True)
+    No-grad forward: runs the inference execution profile
+    (phase-stacked decoder, ``StereoSpikeConfig.for_inference``)."""
+    model_cfg = model_cfg.for_inference()
 
     def step(params: Dict, batch: Dict):
         loss, (mde, depth) = _loss_and_metrics(

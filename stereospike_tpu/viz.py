@@ -94,20 +94,27 @@ def _depth_to_rgb(depth: np.ndarray) -> np.ndarray:
     return np.stack([g, g, g], axis=-1)
 
 
+def _write_video(frames, out_path: str, fps: int) -> None:
+    """Shared mp4 writer: RGB frames in, BGR mp4v file out."""
+    import cv2
+
+    frames = list(frames)
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w, h))
+    if not writer.isOpened():
+        raise IOError(f"could not open video writer for '{out_path}'")
+    for f in frames:
+        writer.write(f[..., ::-1])
+    writer.release()
+
+
 def depth_video(depths: Sequence[np.ndarray], out_path: str,
                 fps: int = 20) -> None:
     """Depth-map sequence → mp4 (reference ``mvsecShowDepth``,
     ``datasets/MVSEC/utils.py:76-112`` — headless: writes the file instead
     of an imshow loop; one stream instead of the L/R/raw mosaics)."""
-    import cv2
-
-    frames = [_depth_to_rgb(d) for d in depths]
-    h, w = frames[0].shape[:2]
-    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                             fps, (w, h))
-    for f in frames:
-        writer.write(f[..., ::-1])
-    writer.release()
+    _write_video((_depth_to_rgb(d) for d in depths), out_path, fps)
 
 
 def events_on_depth_frames(
@@ -155,15 +162,8 @@ def events_on_depth_video(
     fps: int = 20,
 ) -> None:
     """mp4 of :func:`events_on_depth_frames` (headless ``mvsecSpikesAndDepth``)."""
-    import cv2
-
-    frames = events_on_depth_frames(depths, depth_ts, events)
-    h, w = frames[0].shape[:2]
-    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                             fps, (w, h))
-    for f in frames:
-        writer.write(f[..., ::-1])
-    writer.release()
+    _write_video(events_on_depth_frames(depths, depth_ts, events),
+                 out_path, fps)
 
 
 def event_frames_video(frames: np.ndarray, out_path: str,
@@ -171,15 +171,8 @@ def event_frames_video(frames: np.ndarray, out_path: str,
     """Event-count frame sequence [N, H, W, 2] → color mp4 (the DENSE
     dataset preview, reference ``dense_dataset.py:182-188`` ``DENSE.show`` —
     headless file output; colors per ``event_frame_to_rgb``)."""
-    import cv2
-
-    frames = np.asarray(frames)
-    h, w = frames.shape[1:3]
-    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                             fps, (w, h))
-    for f in frames:
-        writer.write(event_frame_to_rgb(f[..., :2])[..., ::-1])
-    writer.release()
+    _write_video((event_frame_to_rgb(f[..., :2]) for f in np.asarray(frames)),
+                 out_path, fps)
 
 
 def make_video(png_paths: Sequence[str], out_path: str, fps: int = 20) -> None:

@@ -64,6 +64,9 @@ def test_reference_key_layout_and_orientation():
         assert key in sd, key
     assert sd["bottom.0.weight"].shape == (32, 4, 5, 5)          # OIHW
     assert sd["deconv1.0.up.1.weight"].shape == (32, 64, 5, 5)
+    # SpikingJelly's ParametricLIFNode.w is 0-dim; a [1] export would fail
+    # the reference's load_state_dict size check
+    assert sd["bottom.2.w"].shape == ()
 
     # orientation oracle: torch conv with the exported weight == our conv2d
     m = torch.nn.Conv2d(4, 32, 5, stride=1, padding=2, bias=False)

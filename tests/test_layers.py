@@ -161,14 +161,27 @@ def test_upsample_conv_phase_stacked_matches_naive():
     backward) must equal plain upsample-then-conv exactly."""
     from stereospike_tpu.nn.layers import _upsample_conv_phased
 
+    from stereospike_tpu.nn.layers import _phase_factors
+
+    # pin the factor-selection policy itself (2 per even axis, capped at
+    # 128 stacked lanes, W-phase dropped first)
+    assert _phase_factors((14, 18), 6) == (2, 2)
+    assert _phase_factors((14, 18), 32) == (2, 2)   # 4*32 = 128 still fits
+    assert _phase_factors((14, 18), 64) == (2, 1)   # 256 > 128 -> drop px
+    assert _phase_factors((12, 13), 40) == (2, 1)   # W odd -> H-only
+    assert _phase_factors((13, 13), 40) == (1, 1)   # both odd -> plain
+    assert _phase_factors((14, 18), 256) == (1, 1)  # never fits -> plain
+
     cases = [
-        # (k, ci, co, in_hw, target, expected phases)
-        (5, 8, 6, (7, 9), (14, 18), (2, 2)),    # both axes even
-        (5, 8, 32, (7, 9), (14, 18), (2, 1)),   # 4*32>128 -> H-only
-        (5, 8, 40, (6, 7), (12, 13), (2, 1)),   # W odd -> H-only
-        (3, 8, 6, (7, 9), (14, 18), (2, 2)),    # k=3 heads-like kernel
+        # (k, ci, co, in_hw, target)
+        (5, 8, 6, (7, 9), (14, 18)),
+        (5, 8, 32, (7, 9), (14, 18)),
+        (5, 8, 40, (6, 7), (12, 13)),
+        (3, 8, 6, (7, 9), (14, 18)),
     ]
-    for k, ci, co, in_hw, target, (py, px) in cases:
+    for k, ci, co, in_hw, target in cases:
+        py, px = _phase_factors(target, co)
+        assert (py, px) != (1, 1)
         x = jnp.asarray(_rand(2, ci, *in_hw, seed=21).transpose(0, 2, 3, 1))
         w = jnp.asarray(_rand(co, ci, k, k, seed=22).transpose(2, 3, 1, 0))
         b = jnp.asarray(_rand(co, seed=23))
