@@ -95,7 +95,7 @@ class EventRingBuffer:
 
 
 class StreamingEvaluator:
-    """B=1 stateful evaluator: events in, depth maps out, one jitted step.
+    """Stateful serving evaluator: events in, depth maps out, one jitted step.
 
     ``maps``: optional per-eye rectification maps ``{eye: (x_map, y_map)}``.
     ``eyes`` orders the input channel blocks (must match the model's
@@ -103,6 +103,12 @@ class StreamingEvaluator:
     must be window-relative (seconds since the window start) — a live
     driver's epoch stamps should be relativized by the caller (float64 −
     window t0, as the dataset path does).
+
+    ``n_streams > 1`` serves that many independent cameras in ONE batched
+    device step (per-stream ring buffers and membrane state; voxelization
+    vmapped over streams, forward at B = n_streams) — amortizing dispatch
+    and lifting the MXU out of the B=1 regime, the multi-camera throughput
+    mode. ``push`` then takes/returns per-stream lists.
     """
 
     def __init__(
@@ -118,6 +124,7 @@ class StreamingEvaluator:
         reset_each_window: bool = True,
         buffer_capacity: int = 1 << 20,
         pipeline: int = 0,
+        n_streams: int = 1,
     ):
         if len(eyes) * nfpdm * 2 != cfg.in_channels:
             raise ValueError(
@@ -133,38 +140,47 @@ class StreamingEvaluator:
         self.block = block
         self.reset_each_window = reset_each_window
         self.pipeline = int(pipeline)
+        self.n_streams = int(n_streams)
         self._pending: "collections.deque[Array]" = collections.deque()
-        self.buffers = {e: EventRingBuffer(buffer_capacity) for e in eyes}
+        self.stream_buffers = [
+            {e: EventRingBuffer(buffer_capacity) for e in eyes}
+            for _ in range(self.n_streams)
+        ]
+        self.buffers = self.stream_buffers[0]  # single-stream alias
         self._maps = {
             e: (jnp.asarray(maps[e][0], jnp.float32),
                 jnp.asarray(maps[e][1], jnp.float32))
             if maps and e in maps else None
             for e in eyes
         }
-        self._state = init_state(cfg, 1)
+        self._state = init_state(cfg, self.n_streams)
         h, w = cfg.in_hw
         dt = window / nfpdm
+
+        def voxelize(ev: Array, valid: Array, eye: str) -> Array:
+            if self._maps[eye] is not None:
+                ev, valid = rectify_events(ev, *self._maps[eye], valid,
+                                           width=w, height=h)
+            fr = events_to_frames(ev, valid, jnp.float32(0.0),
+                                  jnp.float32(dt), n_frames=nfpdm,
+                                  height=h, width=w)
+            # [nfpdm, H, W, 2] -> [H, W, nfpdm*2] (frame, pol) stacking
+            return jnp.transpose(fr, (1, 2, 0, 3)).reshape(h, w, -1)
 
         def step(params, state, evs: Dict[str, Array], valids: Dict[str, Array]):
             frames = []
             for e in eyes:
-                ev, valid = evs[e], valids[e]
-                if self._maps[e] is not None:
-                    ev, valid = rectify_events(ev, *self._maps[e], valid,
-                                               width=w, height=h)
-                fr = events_to_frames(ev, valid, jnp.float32(0.0),
-                                      jnp.float32(dt), n_frames=nfpdm,
-                                      height=h, width=w)
-                # [nfpdm, H, W, 2] -> [H, W, nfpdm*2] (frame, pol) stacking
-                frames.append(jnp.transpose(fr, (1, 2, 0, 3)).reshape(h, w, -1))
-            frame = jnp.concatenate(frames, axis=-1)[None]  # B=1
+                # evs[e]: [S, block, 4]; vmap the voxelizer over streams
+                frames.append(jax.vmap(lambda a, v, e=e: voxelize(a, v, e))(
+                    evs[e], valids[e]))
+            frame = jnp.concatenate(frames, axis=-1)  # [S, H, W, C]
             depths, _, new_state = forward(params, frame, self.cfg, state)
             return depths[0], new_state
 
         self._step = jax.jit(step)
 
     def reset(self) -> None:
-        self._state = init_state(self.cfg, 1)
+        self._state = init_state(self.cfg, self.n_streams)
         self._pending.clear()
 
     def _pad(self, ev: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -192,25 +208,47 @@ class StreamingEvaluator:
         the in-flight device compute, so the steady-state rate approaches
         the D2H round trip alone, at N windows of extra result latency.
         The membrane-state carry chains on-device either way.
+
+        Multi-stream (``n_streams > 1``): pass a LIST of per-stream event
+        dicts; the returned depth is ``[n_streams, H, W, 1]``.
         """
+        single = isinstance(window_events, dict)
+        streams = [window_events] if single else list(window_events)
+        if single and self.n_streams != 1:
+            raise ValueError(
+                f"evaluator serves {self.n_streams} streams; push a list of "
+                "per-stream event dicts")
+        if len(streams) != self.n_streams:
+            raise ValueError(
+                f"got {len(streams)} streams, evaluator serves {self.n_streams}")
         evs, valids = {}, {}
         for e in self.eyes:
-            buf = self.buffers[e]
-            buf.push(window_events.get(e, np.zeros((0, 4), np.float32)))
-            raw = buf.pop()
-            if raw.shape[0] > self.block:
-                buf.dropped += raw.shape[0] - self.block
-            ev, valid = self._pad(raw)
-            evs[e] = jnp.asarray(ev)
-            valids[e] = jnp.asarray(valid)
-        state = (init_state(self.cfg, 1) if self.reset_each_window
-                 else self._state)
+            per_stream_ev, per_stream_valid = [], []
+            for s, win in enumerate(streams):
+                buf = self.stream_buffers[s][e]
+                buf.push(win.get(e, np.zeros((0, 4), np.float32)))
+                raw = buf.pop()
+                if raw.shape[0] > self.block:
+                    buf.dropped += raw.shape[0] - self.block
+                ev, valid = self._pad(raw)
+                per_stream_ev.append(ev)
+                per_stream_valid.append(valid)
+            evs[e] = jnp.asarray(np.stack(per_stream_ev))       # [S, block, 4]
+            valids[e] = jnp.asarray(np.stack(per_stream_valid))  # [S, block]
+        state = (init_state(self.cfg, self.n_streams)
+                 if self.reset_each_window else self._state)
         depth, self._state = self._step(self.params, state, evs, valids)
+
+        def fetch(d):
+            # [H,W,1] for a single-stream evaluator, [S,H,W,1] otherwise
+            # (consistent with flush regardless of dict-vs-list input)
+            return np.asarray(d[0]) if self.n_streams == 1 else np.asarray(d)
+
         if not self.pipeline:
-            return np.asarray(depth[0])
+            return fetch(depth)
         self._pending.append(depth)
         if len(self._pending) > self.pipeline:
-            return np.asarray(self._pending.popleft()[0])
+            return fetch(self._pending.popleft())
         return None
 
     def flush(self) -> Optional[np.ndarray]:
@@ -218,4 +256,5 @@ class StreamingEvaluator:
         ``None`` when the pipeline is drained."""
         if not self._pending:
             return None
-        return np.asarray(self._pending.popleft()[0])
+        d = self._pending.popleft()
+        return np.asarray(d[0]) if self.n_streams == 1 else np.asarray(d)

@@ -4,6 +4,7 @@ the offline voxelize→forward pipeline."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stereospike_tpu.models import init_params, stereospike_monocular, stereospike_tempo
 from stereospike_tpu.models.stereospike import forward, init_state
@@ -117,3 +118,32 @@ def test_streaming_pipelined_mode():
     assert pipe.flush() is None
     for got, exp in zip((d0, d1, d2), expected):
         np.testing.assert_allclose(got, exp, rtol=1e-5, atol=1e-5)
+
+
+def test_multi_stream_batched_serving():
+    """n_streams=2 serves two cameras in one batched step, matching two
+    independent single-stream evaluators (within SNN tolerance)."""
+    cfg = stereospike_monocular(in_hw=HW, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    wins_a = [_events(400, HW, 0.0, 0.05, seed=s) for s in (11, 12)]
+    wins_b = [_events(400, HW, 0.0, 0.05, seed=s) for s in (13, 14)]
+
+    multi = StreamingEvaluator(params, cfg, eyes=("left",), block=512,
+                               reset_each_window=False, n_streams=2)
+    d1 = multi.push([{"left": wins_a[0]}, {"left": wins_b[0]}])
+    d2 = multi.push([{"left": wins_a[1]}, {"left": wins_b[1]}])
+    assert d1.shape == (2,) + HW + (1,) and d2.shape == (2,) + HW + (1,)
+
+    for i, wins in enumerate((wins_a, wins_b)):
+        solo = StreamingEvaluator(params, cfg, eyes=("left",), block=512,
+                                  reset_each_window=False)
+        e1 = solo.push({"left": wins[0]})
+        e2 = solo.push({"left": wins[1]})
+        np.testing.assert_allclose(d1[i], e1, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(d2[i], e2, rtol=1e-4, atol=1e-4)
+
+    # shape/arity errors are loud
+    with pytest.raises(ValueError, match="push a list"):
+        multi.push({"left": wins_a[0]})
+    with pytest.raises(ValueError, match="got 1 streams"):
+        multi.push([{"left": wins_a[0]}])
