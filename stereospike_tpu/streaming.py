@@ -108,7 +108,8 @@ class StreamingEvaluator:
     device step (per-stream ring buffers and membrane state; voxelization
     vmapped over streams, forward at B = n_streams) — amortizing dispatch
     and lifting the MXU out of the B=1 regime, the multi-camera throughput
-    mode. ``push`` then takes/returns per-stream lists.
+    mode. ``push`` then takes a list of per-stream event dicts and returns
+    a stacked ``[n_streams, H, W, 1]`` array.
     """
 
     def __init__(
@@ -141,7 +142,8 @@ class StreamingEvaluator:
         self.reset_each_window = reset_each_window
         self.pipeline = int(pipeline)
         self.n_streams = int(n_streams)
-        self._pending: "collections.deque[Array]" = collections.deque()
+        # pipelined results in flight: (device depth, was_list_input)
+        self._pending: "collections.deque[Tuple[Array, bool]]" = collections.deque()
         self.stream_buffers = [
             {e: EventRingBuffer(buffer_capacity) for e in eyes}
             for _ in range(self.n_streams)
@@ -170,9 +172,14 @@ class StreamingEvaluator:
         def step(params, state, evs: Dict[str, Array], valids: Dict[str, Array]):
             frames = []
             for e in eyes:
-                # evs[e]: [S, block, 4]; vmap the voxelizer over streams
-                frames.append(jax.vmap(lambda a, v, e=e: voxelize(a, v, e))(
-                    evs[e], valids[e]))
+                if self.n_streams == 1:
+                    # keep the previous B=1 lowering on the latency-critical
+                    # single-camera path (no size-1 vmap dimension)
+                    frames.append(voxelize(evs[e][0], valids[e][0], e)[None])
+                else:
+                    # evs[e]: [S, block, 4]; vmap the voxelizer over streams
+                    frames.append(jax.vmap(lambda a, v, e=e: voxelize(a, v, e))(
+                        evs[e], valids[e]))
             frame = jnp.concatenate(frames, axis=-1)  # [S, H, W, C]
             depths, _, new_state = forward(params, frame, self.cfg, state)
             return depths[0], new_state
@@ -191,12 +198,18 @@ class StreamingEvaluator:
         valid[:n] = True
         return out, valid
 
-    def push(self, window_events: Dict[str, np.ndarray]) -> Optional[np.ndarray]:
+    def _fetch(self, pending) -> np.ndarray:
+        depth, was_list = pending
+        # dict input -> [H, W, 1]; list input -> [S, H, W, 1] (even S = 1),
+        # so code parameterized over n_streams can always index stream s
+        return np.asarray(depth) if was_list else np.asarray(depth[0])
+
+    def push(self, window_events) -> Optional[np.ndarray]:
         """Feed one window's events per eye; returns a depth map [H, W, 1].
 
         Static shapes: each eye's events are padded/truncated to ``block``
-        rows (truncation keeps the newest events and is counted in
-        ``buffers[eye].dropped``).
+        rows (truncation keeps the newest events and is counted per stream
+        in ``stream_buffers[s][eye].dropped``).
 
         With ``pipeline=0`` the returned depth is THIS window's
         (synchronous: blocks on device compute + the D2H round trip — on a
@@ -210,7 +223,9 @@ class StreamingEvaluator:
         The membrane-state carry chains on-device either way.
 
         Multi-stream (``n_streams > 1``): pass a LIST of per-stream event
-        dicts; the returned depth is ``[n_streams, H, W, 1]``.
+        dicts; the returned depth is ``[n_streams, H, W, 1]``. A list input
+        always yields the stacked stream axis (even for one stream), a dict
+        input yields ``[H, W, 1]``.
         """
         single = isinstance(window_events, dict)
         streams = [window_events] if single else list(window_events)
@@ -239,22 +254,16 @@ class StreamingEvaluator:
                  if self.reset_each_window else self._state)
         depth, self._state = self._step(self.params, state, evs, valids)
 
-        def fetch(d):
-            # [H,W,1] for a single-stream evaluator, [S,H,W,1] otherwise
-            # (consistent with flush regardless of dict-vs-list input)
-            return np.asarray(d[0]) if self.n_streams == 1 else np.asarray(d)
-
         if not self.pipeline:
-            return fetch(depth)
-        self._pending.append(depth)
+            return self._fetch((depth, not single))
+        self._pending.append((depth, not single))
         if len(self._pending) > self.pipeline:
-            return fetch(self._pending.popleft())
+            return self._fetch(self._pending.popleft())
         return None
 
     def flush(self) -> Optional[np.ndarray]:
-        """Pipelined mode: fetch the oldest in-flight depth (FIFO), or
-        ``None`` when the pipeline is drained."""
+        """Pipelined mode: fetch the oldest in-flight depth (FIFO, shaped
+        per that push's input form), or ``None`` when drained."""
         if not self._pending:
             return None
-        d = self._pending.popleft()
-        return np.asarray(d[0]) if self.n_streams == 1 else np.asarray(d)
+        return self._fetch(self._pending.popleft())

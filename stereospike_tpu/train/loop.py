@@ -562,7 +562,9 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         "interval_ms_mean": round(float(lat_ms.mean()), 3) if len(lat_ms) else None,
         "interval_ms_p99": round(float(np.percentile(lat_ms, 99)), 3) if len(lat_ms) else None,
         "pipeline": pipeline,
-        "dropped_events": int(sum(b.dropped for b in evaluator.buffers.values())),
+        "dropped_events": int(sum(b.dropped
+                                  for sb in evaluator.stream_buffers
+                                  for b in sb.values())),
         "video": save_video if save_video and depths else None,
         "total_time_s": round(time.time() - t_prev, 3),
     }

@@ -147,3 +147,38 @@ def test_multi_stream_batched_serving():
         multi.push({"left": wins_a[0]})
     with pytest.raises(ValueError, match="got 1 streams"):
         multi.push([{"left": wins_a[0]}])
+
+
+def test_multi_stream_pipelined_with_maps():
+    """Multi-stream x pipelining x rectification maps: FIFO order, stacked
+    [S,H,W,1] shapes from list input (even at S=1), flush drains."""
+    cfg = stereospike_monocular(in_hw=HW, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # identity rectification maps exercise the vmapped rectify path
+    yy, xx = np.mgrid[0:HW[0], 0:HW[1]].astype(np.float32)
+    maps = {"left": (xx, yy)}
+    wins = [[{"left": _events(300, HW, 0.0, 0.05, seed=10 * w + s)}
+             for s in range(2)] for w in range(3)]
+
+    ev = StreamingEvaluator(params, cfg, eyes=("left",), block=512, maps=maps,
+                            reset_each_window=False, n_streams=2, pipeline=1)
+    assert ev.push(wins[0]) is None
+    d0 = ev.push(wins[1])
+    d1 = ev.push(wins[2])
+    d2 = ev.flush()
+    assert ev.flush() is None
+    for d in (d0, d1, d2):
+        assert d.shape == (2,) + HW + (1,) and np.isfinite(d).all()
+
+    # matches the unpipelined multi-stream evaluator window for window
+    ref = StreamingEvaluator(params, cfg, eyes=("left",), block=512, maps=maps,
+                             reset_each_window=False, n_streams=2)
+    for got, win in zip((d0, d1, d2), wins):
+        np.testing.assert_allclose(got, ref.push(win), rtol=1e-5, atol=1e-5)
+
+    # list input to a single-stream evaluator keeps the stream axis
+    solo = StreamingEvaluator(params, cfg, eyes=("left",), block=512)
+    out = solo.push([wins[0][0]])
+    assert out.shape == (1,) + HW + (1,)
+    out2 = solo.push(wins[0][0])
+    assert out2.shape == HW + (1,)
