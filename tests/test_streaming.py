@@ -182,3 +182,34 @@ def test_multi_stream_pipelined_with_maps():
     assert out.shape == (1,) + HW + (1,)
     out2 = solo.push(wins[0][0])
     assert out2.shape == HW + (1,)
+
+
+def test_ring_buffer_property_random_sequences():
+    """Randomized push/pop sequences against a deque oracle: contents,
+    order, and drop accounting all match for every wraparound pattern."""
+    import collections
+
+    rng = np.random.default_rng(0)
+    for cap in (7, 16, 64):
+        buf = EventRingBuffer(cap)
+        oracle = collections.deque(maxlen=cap)
+        dropped = 0
+        for _ in range(60):
+            op = rng.random()
+            if op < 0.7:
+                n = int(rng.integers(0, 2 * cap))
+                ev = rng.normal(size=(n, 4)).astype(np.float32)
+                before = len(oracle)
+                buf.push(ev)
+                for row in ev:
+                    if len(oracle) == cap:
+                        dropped += 1
+                    oracle.append(row)
+                assert len(buf) == len(oracle)
+            else:
+                got = buf.pop()
+                exp = np.asarray(list(oracle), np.float32).reshape(-1, 4)
+                np.testing.assert_array_equal(got, exp)
+                oracle.clear()
+                assert len(buf) == 0
+        assert buf.dropped == dropped, (cap, buf.dropped, dropped)
