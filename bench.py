@@ -19,6 +19,7 @@ Prints exactly one JSON line.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -72,10 +73,16 @@ def main():
     # carries for BPTT, which bounds the batch on a 16 GB chip
     batch_multi = int(os.environ.get("BENCH_BATCH_T", "16"))
     fps = measure(batch=batch, iters=iters)
-    fps_t_scan = measure(batch=batch_multi, iters=iters, T=t_multi,
-                         multistep=False)
-    fps_t_ms = measure(batch=batch_multi, iters=iters, T=t_multi,
-                       multistep=True)
+    # the T>1 comparison is auxiliary: if the backend degrades mid-run
+    # (this environment's tunnel can wedge), still report the headline
+    fps_t_scan = fps_t_ms = None
+    try:
+        fps_t_scan = measure(batch=batch_multi, iters=iters, T=t_multi,
+                             multistep=False)
+        fps_t_ms = measure(batch=batch_multi, iters=iters, T=t_multi,
+                           multistep=True)
+    except Exception as e:
+        print(f"# T>1 measurement failed: {e!r}", file=sys.stderr)
 
     baseline = None
     base_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
@@ -103,9 +110,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 2) if baseline else None,
         "t1_scan_fps": round(fps, 2),
-        f"t{t_multi}_scan_fps": round(fps_t_scan, 2),
-        f"t{t_multi}_multistep_fps": round(fps_t_ms, 2),
-        "multistep_speedup": round(fps_t_ms / fps_t_scan, 3),
+        f"t{t_multi}_scan_fps": round(fps_t_scan, 2) if fps_t_scan else None,
+        f"t{t_multi}_multistep_fps": round(fps_t_ms, 2) if fps_t_ms else None,
+        "multistep_speedup": (round(fps_t_ms / fps_t_scan, 3)
+                              if fps_t_scan and fps_t_ms else None),
         "sustained_tflops": tflops,
         "mfu": mfu,
     }))
