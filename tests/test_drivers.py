@@ -336,3 +336,17 @@ def test_paper_run_configs_stay_valid(name, tmp_path):
                                 checkpoint_dir=str(tmp_path / "ck"))
     summary = train_loop(small, synthetic=True, max_steps=1)
     assert np.isfinite(summary["train_loss"])
+
+
+def test_cli_firing_rates_smoke(tmp_path):
+    """firing-rates subcommand end-to-end (reference
+    calculate_firing_rates.py workflow as a CLI one-liner)."""
+    from stereospike_tpu.cli import main
+
+    ckpt = str(tmp_path / "fr_ckpt")
+    rc = main(["firing-rates", "--synthetic", "--in-hw", SMALL_HW,
+               "--batch-size", "2", "--model", "stereospike_tempo",
+               "--checkpoint-dir", ckpt])
+    assert rc == 0
+    txt = open(os.path.join(ckpt, "firing_rates_logs.txt")).read()
+    assert "mean encoder rate" in txt and "out_add1" in txt
