@@ -89,6 +89,7 @@ def main(argv=None) -> int:
         ("firing-rates", "profile per-layer spike densities"),
         ("bench", "measure training throughput"),
         ("stream", "streaming serving: events in, depth maps out"),
+        ("export-pth", "export a checkpoint as a reference torch .pth"),
     ]:
         p = sub.add_parser(name, help=helptext)
         p.add_argument("--config", type=str, default=None,
@@ -99,6 +100,11 @@ def main(argv=None) -> int:
                        help="stop after N optimizer steps (smoke runs)")
         p.add_argument("--save-config", type=str, default=None,
                        help="write the resolved config to this path and exit")
+        if name == "export-pth":
+            p.add_argument("--out", type=str, required=True,
+                           help="output .pth path")
+            p.add_argument("--which", type=str, default="best.msgpack",
+                           help="checkpoint file to export")
         if name == "stream":
             p.add_argument("--events-dir", type=str, default=None,
                            help="DENSE-format events/data dir (one .npy "
@@ -148,6 +154,39 @@ def main(argv=None) -> int:
         import bench as bench_mod  # repo-root bench.py
 
         bench_mod.main()
+    elif args.command == "export-pth":
+        # our checkpoint → reference torch state dict (interop.py), so a
+        # model trained here can be evaluated by the reference scripts
+        import torch
+
+        from stereospike_tpu.train.loop import build_ann_config, \
+            build_model_config, is_ann_model
+
+        if is_ann_model(cfg.model):
+            from stereospike_tpu.interop import ann_params_to_torch_state_dict
+            from stereospike_tpu.models.ann import (
+                init_ann_params,
+                init_ann_state,
+            )
+            from stereospike_tpu.train.checkpoint import restore_fields
+
+            ann_cfg = build_ann_config(cfg)
+            import jax as _jax
+
+            tpl = {"params": init_ann_params(_jax.random.PRNGKey(cfg.seed),
+                                             ann_cfg),
+                   "bn_state": init_ann_state(ann_cfg)}
+            restored = restore_fields(cfg.checkpoint_dir, tpl, args.which)
+            sd = ann_params_to_torch_state_dict(restored["params"],
+                                                restored["bn_state"])
+        else:
+            from stereospike_tpu.interop import params_to_torch_state_dict
+            from stereospike_tpu.train.loop import _load_params
+
+            params = _load_params(cfg, build_model_config(cfg), args.which)
+            sd = params_to_torch_state_dict(params)
+        torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, args.out)
+        print(json.dumps({"exported": args.out, "n_tensors": len(sd)}))
     elif args.command == "stream":
         from stereospike_tpu.train.loop import stream_loop
 

@@ -350,3 +350,46 @@ def test_cli_firing_rates_smoke(tmp_path):
     assert rc == 0
     txt = open(os.path.join(ckpt, "firing_rates_logs.txt")).read()
     assert "mean encoder rate" in txt and "out_add1" in txt
+
+
+def test_cli_export_pth_round_trip(tmp_path):
+    """export-pth: a checkpoint trained here exports as a reference-layout
+    .pth that --import-pth loads back to identical eval numbers."""
+    from stereospike_tpu.cli import main
+
+    ckpt = str(tmp_path / "exp_ckpt")
+    common = ["--synthetic", "--in-hw", SMALL_HW, "--batch-size", "2",
+              "--model", "stereospike_tempo", "--checkpoint-dir", ckpt]
+    assert main(["train", "--max-steps", "2", "--epochs", "1"] + common) == 0
+
+    pth = str(tmp_path / "exported.pth")
+    assert main(["export-pth", "--out", pth] + common) == 0
+    assert os.path.getsize(pth) > 0
+
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import eval_loop
+
+    base = TrainConfig(model="stereospike_tempo", in_hw=(48, 64),
+                       batch_size=2, checkpoint_dir=ckpt)
+    ref = eval_loop(base, synthetic=True)
+    imp = eval_loop(dataclasses.replace(
+        base, import_pth=pth, checkpoint_dir=str(tmp_path / "other")),
+        synthetic=True)
+    assert np.isclose(ref["test_MDE"], imp["test_MDE"], rtol=1e-5)
+
+
+def test_cli_export_pth_ann(tmp_path):
+    from stereospike_tpu.cli import main
+
+    ckpt = str(tmp_path / "annexp_ckpt")
+    common = ["--synthetic", "--in-hw", SMALL_HW, "--batch-size", "2",
+              "--model", "ann_sigmoid", "--checkpoint-dir", ckpt]
+    assert main(["train", "--max-steps", "1", "--epochs", "1"] + common) == 0
+    pth = str(tmp_path / "ann.pth")
+    assert main(["export-pth", "--out", pth] + common) == 0
+    # reloads through the ANN interop loader
+    from stereospike_tpu.interop import load_torch_ann_checkpoint
+
+    params, bn_state = load_torch_ann_checkpoint(pth)
+    assert "bottom" in params and "bn_bottom" in params
+    assert "mean" in bn_state["bn_bottom"]
