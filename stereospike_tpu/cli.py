@@ -181,8 +181,19 @@ def main(argv=None) -> int:
                                                 restored["bn_state"])
         else:
             from stereospike_tpu.interop import params_to_torch_state_dict
+            from stereospike_tpu.train.checkpoint import has_checkpoint
             from stereospike_tpu.train.loop import _load_params
 
+            # _load_params falls back to fresh init when no checkpoint
+            # exists (fine for train warm-starts); exporting untrained
+            # random weights as a valid-looking .pth is not — a typo'd
+            # --checkpoint-dir must fail loudly here
+            if not (cfg.import_pth
+                    or has_checkpoint(cfg.checkpoint_dir, args.which)):
+                raise FileNotFoundError(
+                    f"no checkpoint {args.which!r} in {cfg.checkpoint_dir!r} "
+                    "and no --import-pth; refusing to export fresh "
+                    "random-init weights")
             params = _load_params(cfg, build_model_config(cfg), args.which)
             sd = params_to_torch_state_dict(params)
         torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, args.out)

@@ -111,6 +111,33 @@ def load_dense(
     return DenseDataset(data=np.ascontiguousarray(data), labels=y, masks=masks)
 
 
+def split_dense(ds: DenseDataset, val_frac: float = 0.15,
+                test_frac: float = 0.15):
+    """Contiguous (train, val, test) split of one DENSE sequence.
+
+    The reference ships no DENSE training protocol (``dense_dataset.py`` is
+    loader-only), so the framework defines one: val and test are the LAST
+    contiguous fractions of the sequence — temporal data must not be split
+    i.i.d. (neighbouring 33 ms windows are nearly identical; a shuffled
+    split would leak train frames into eval).
+    """
+    n = len(ds)
+    n_test = max(int(round(n * test_frac)), 1)
+    n_val = max(int(round(n * val_frac)), 1)
+    n_train = n - n_val - n_test
+    if n_train <= 0:
+        raise ValueError(f"sequence of {n} maps is too short for "
+                         f"val_frac={val_frac}, test_frac={test_frac}")
+
+    def view(sl: slice) -> DenseDataset:
+        return DenseDataset(data=ds.data[sl], labels=ds.labels[sl],
+                            masks=ds.masks[sl])
+
+    return (view(slice(0, n_train)),
+            view(slice(n_train, n_train + n_val)),
+            view(slice(n_train + n_val, n)))
+
+
 def dense_batches(ds: DenseDataset, batch_size: int, *, shuffle: bool = False,
                   seed: int = 0, drop_last: bool = True) -> Iterator[Dict]:
     """Batches in the canonical layout (monocular: C = nfpdm·2)."""

@@ -99,6 +99,14 @@ def _get(tree: Dict, path):
     return tree
 
 
+def _has(tree: Dict, path) -> bool:
+    for p in path:
+        if not isinstance(tree, dict) or p not in tree:
+            return False
+        tree = tree[p]
+    return True
+
+
 def _set(tree: Dict, path, value):
     for p in path[:-1]:
         tree = tree.setdefault(p, {})
@@ -128,9 +136,17 @@ def params_from_torch_state_dict(
     used = set()
     for path, stem in _CONV_SITES:
         wk = f"{stem}.weight"
+        if path[0].startswith("pred") and int(path[0][-1]) not in cfg.heads:
+            # cut-predict: the reference class still DEFINES predict_depth4
+            # in its module tree (SNN_models.py:835 — only the forward call
+            # is commented out), so a real reference .pth carries its
+            # tensors. Mark them consumed but don't load them: folding dead
+            # params into the pytree would give them optimizer state on an
+            # import_pth warm start.
+            used.update(k for k in (wk, f"{stem}.bias", _SCALE_KEYS[path])
+                        if k in state_dict)
+            continue
         if wk not in state_dict:
-            if path[0].startswith("pred") and int(path[0][-1]) not in cfg.heads:
-                continue  # cut-predict ablation has no deepest head
             raise KeyError(f"reference checkpoint is missing '{wk}'")
         w = _np(state_dict[wk])
         if w.ndim != 4:
@@ -197,16 +213,32 @@ def params_from_torch_state_dict(
     return params
 
 
-def params_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
+def params_to_torch_state_dict(params: Dict,
+                               fill_missing_heads: bool = True) -> Dict[str, np.ndarray]:
     """Export this framework's parameter pytree in the reference's
     ``state_dict`` key layout (numpy arrays, OIHW weights) — loadable into
-    the reference models via ``load_state_dict`` after ``torch.as_tensor``."""
+    the reference models via ``load_state_dict`` after ``torch.as_tensor``.
+
+    ``fill_missing_heads``: the reference cut-predict class still defines
+    ``predict_depth4`` in its module tree (SNN_models.py:835), so its
+    ``state_dict`` contains those keys and a strict ``load_state_dict``
+    demands them. A cut-predict pytree has no pred4 leaf; synthesize zero
+    tensors for any absent head so the export loads strictly (the module is
+    never called in the reference's forward)."""
     out: Dict[str, np.ndarray] = {}
+    any_scale = any("scale" in _get(params, p) for p, _ in _CONV_SITES
+                    if _has(params, p))
     for path, stem in _CONV_SITES:
-        try:
-            leaf = _get(params, path)
-        except KeyError:
+        if not _has(params, path):
+            if fill_missing_heads and path[0].startswith("pred"):
+                c_in = int(np.asarray(
+                    _get(params, (f"deconv{path[0][-1]}", "w")).shape[-1]))
+                out[f"{stem}.weight"] = np.zeros((1, c_in, 3, 3), np.float32)
+                out[f"{stem}.bias"] = np.zeros((1,), np.float32)
+                if any_scale:
+                    out[_SCALE_KEYS[path]] = np.ones((1,), np.float32)
             continue
+        leaf = _get(params, path)
         out[f"{stem}.weight"] = np.asarray(
             leaf["w"], np.float32).transpose(3, 2, 0, 1)  # HWIO -> OIHW
         if "b" in leaf:

@@ -7,6 +7,7 @@ from stereospike_tpu.models.stereospike import (  # noqa: F401
     forward,
     forward_sequence,
     firing_rates,
+    firing_rates_sequence,
     count_params,
     TAP_NAMES,
 )

@@ -355,5 +355,32 @@ def firing_rates(params: Dict, frame: Array, cfg: StereoSpikeConfig,
     }
 
 
+def firing_rates_sequence(params: Dict, frames: Array, cfg: StereoSpikeConfig,
+                          state: Optional[Dict] = None) -> Dict[str, Array]:
+    """Per-tap densities over a FULL [B, T, H, W, C] sequence: the stateful
+    generalization of :func:`firing_rates` — membrane potentials carry across
+    the T steps exactly as in :func:`forward_sequence`, and each tap's
+    density is the mean over all T steps. At T=1 this equals
+    :func:`firing_rates` on ``frames[:, 0]`` (the reference's stateless
+    recipe, calculate_firing_rates.py:125-135); at T>1 it profiles the same
+    temporal execution the framework trains with, instead of silently
+    measuring only step 0."""
+    B, T = frames.shape[:2]
+    if state is None:
+        state = init_state(cfg, B, frames.dtype)
+
+    def step(st, frame):
+        _, _, new_state, taps = forward(params, frame, cfg, st,
+                                        return_taps=True)
+        dens = {
+            name: jnp.count_nonzero(t).astype(jnp.float32) / t.size
+            for name, t in taps.items()
+        }
+        return new_state, dens
+
+    _, dens = jax.lax.scan(step, state, jnp.moveaxis(frames, 1, 0))
+    return {k: jnp.mean(v) for k, v in dens.items()}
+
+
 def count_params(params: Dict) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -66,15 +66,16 @@ def make_ann_train_step(cfg: AnnConfig, loss_cfg: TotalLossConfig,
 
 def make_ann_eval_step(cfg: AnnConfig, loss_cfg: TotalLossConfig, *,
                        learn_on: str = "LIN"):
-    """Eval with frozen BN statistics."""
+    """Eval with frozen BN statistics. ``loss``/``mde`` are per-sample means
+    over the batch (see ``train.steps.per_sample_eval_stats``); callers
+    weight them by the batch's sample count."""
+    from stereospike_tpu.train.steps import per_sample_eval_stats
 
     def step(params: Dict, bn_state: Dict, batch: Dict):
         depths, _ = ann_forward(params, batch["chunks"][:, 0], cfg, bn_state,
                                 train=False)
-        loss = total_loss(depths, batch["gt"], batch["mask"], None, loss_cfg)
-        mde = mean_depth_error(convert_to_lin(depths[0], learn_on),
-                               convert_to_lin(batch["gt"], learn_on),
-                               batch["mask"])
+        loss, mde = per_sample_eval_stats(depths, None, batch["gt"],
+                                          batch["mask"], loss_cfg, learn_on)
         return {"loss": loss, "mde": mde, "depth": depths[0]}
 
     return step

@@ -27,6 +27,11 @@ class TrainConfig:
     use_plif: bool = True
 
     # data (reference train.py:60-68)
+    # 'mvsec' (stereo hdf5, the reference's training dataset) or 'dense'
+    # (monocular CARLA .npy tree, reference dense_dataset.py — loader-only
+    # there; trainable end-to-end here with a contiguous train/val/test
+    # split, data/dense.py::split_dense)
+    dataset: str = "mvsec"
     nfpdm: int = 1                    # frames per depth map (dt = 50/nfpdm ms)
     n_inference: int = 1              # chunks per training sample
     n_warmup: int = 1                 # no-grad warmup chunks (stateful models)

@@ -33,7 +33,7 @@ from stereospike_tpu.data import (
 from stereospike_tpu.models import factory as model_factory
 from stereospike_tpu.models import (
     count_params,
-    firing_rates,
+    firing_rates_sequence,
     init_params,
 )
 from stereospike_tpu.models.ann import AnnConfig, init_ann_params, init_ann_state
@@ -106,6 +106,12 @@ def build_model_config(cfg: TrainConfig) -> StereoSpikeConfig:
 
 def build_ann_config(cfg: TrainConfig) -> AnnConfig:
     """Resolve an equivalent-ANN baseline config from ``cfg.model``."""
+    if cfg.n_timesteps != 1:
+        # the ANN is stateless (no membrane carry): a T>1 batch would
+        # silently train/evaluate on step 0 only — refuse instead
+        raise ValueError(
+            f"ANN models are single-step (n_timesteps={cfg.n_timesteps}); "
+            "channel-stack the chunks (n_timesteps=1) or use an SNN model")
     return AnnConfig(in_channels=_in_channels(cfg), in_hw=tuple(cfg.in_hw),
                      activation=ANN_MODELS[cfg.model])
 
@@ -116,11 +122,49 @@ def _loss_config(cfg: TrainConfig) -> TotalLossConfig:
         penalize_spikes=cfg.penalize_spikes, beta=cfg.loss_beta)
 
 
+def _dense_guard(cfg: TrainConfig) -> None:
+    """Config constraints of the DENSE dataset (monocular CARLA,
+    dense_dataset.py): one 2-channel chunk per depth map, no warmup window,
+    no stereo disparity."""
+    if cfg.model != "stereospike_monocular":
+        raise ValueError(
+            "DENSE is a monocular dataset (dense_dataset.py:100: "
+            "data_right=None); use model=stereospike_monocular")
+    if cfg.n_timesteps != 1 or cfg.n_inference != 1:
+        raise ValueError(
+            "DENSE emits one chunk per depth map: n_timesteps and "
+            "n_inference must both be 1")
+    if cfg.use_warmup or cfg.use_init_pots:
+        raise ValueError("DENSE samples carry no warmup chunks / init_pots")
+    if cfg.learn_on == "DISP":
+        raise ValueError("DENSE has no stereo baseline; learn_on must be "
+                         "LIN or LOG")
+
+
 def _make_data(cfg: TrainConfig, synthetic: bool, tmpdir: Optional[str],
                test_only: bool = False):
     """(train_view, val_view, test_view) — or just the test view with
     ``test_only`` (the reference's load_test_only, test.py:64-67: eval must
     not load and voxelize the two multi-GB training sequences)."""
+    if cfg.dataset == "dense":
+        from stereospike_tpu.data.dense import load_dense, split_dense
+
+        _dense_guard(cfg)
+        root = cfg.data_root
+        if synthetic:
+            import tempfile
+
+            from stereospike_tpu.data.fixtures import make_dense_fixture
+
+            root = tmpdir or tempfile.mkdtemp(prefix="stereospike_dense_")
+            make_dense_fixture(root, hw=tuple(cfg.in_hw), n_maps=12,
+                               seed=cfg.seed)
+        ds = load_dense(root, nfpdm=cfg.nfpdm,
+                        take_log=(cfg.learn_on == "LOG"), hw=tuple(cfg.in_hw))
+        train, val, test = split_dense(ds)
+        return test if test_only else (train, val, test)
+    if cfg.dataset != "mvsec":
+        raise ValueError(f"unknown dataset {cfg.dataset!r} (mvsec | dense)")
     if synthetic:
         import tempfile
 
@@ -143,6 +187,21 @@ def _test_view(cfg: TrainConfig, synthetic: bool, data):
     if data is None:
         return _make_data(cfg, synthetic, None, test_only=True)
     return data[2] if isinstance(data, tuple) else data
+
+
+def _batch_iter(cfg: TrainConfig, view, **kw):
+    """Dataset-dispatching batch iterator: MVSEC views take the canonical
+    eye-stacked batcher, DENSE datasets their monocular one. ``kw``:
+    shuffle/seed/drop_last only — the dataset-specific layout arguments
+    (binocular, n_timesteps, include_warmup) are derived from ``cfg``."""
+    if cfg.dataset == "dense":
+        from stereospike_tpu.data.dense import dense_batches
+
+        return dense_batches(view, cfg.batch_size, **kw)
+    return batches(view, cfg.batch_size,
+                   binocular=cfg.model != "stereospike_monocular",
+                   n_timesteps=cfg.n_timesteps,
+                   include_warmup=cfg.use_warmup, **kw)
 
 
 def _compute_dtype(cfg: TrainConfig):
@@ -251,6 +310,14 @@ def train_loop(
 
     dtype = _compute_dtype(cfg)
     mesh = _device_setup(cfg)
+    # a (d, s>1) mesh shards the image H axis over 'spatial' (GSPMD inserts
+    # the conv halo exchanges); a size-1 spatial axis degenerates to pure DP
+    spatial = mesh is not None and mesh.devices.shape[1] > 1
+    if spatial and cfg.in_hw[0] % mesh.devices.shape[1]:
+        warnings.warn(
+            f"H={cfg.in_hw[0]} does not divide over the spatial mesh axis "
+            f"{mesh.devices.shape[1]}; GSPMD will pad — expect some wasted "
+            "compute on the last shard")
     # batch keys the device step consumes (everything else is stripped after
     # augmentation)
     keep = ["chunks", "gt", "mask"]
@@ -263,25 +330,34 @@ def train_loop(
                    multistep=cfg.multistep, use_warmup=cfg.use_warmup,
                    use_init_pots=cfg.use_init_pots)
     train_step = make_train_step(model_cfg, loss_cfg, tx, **step_kw)
-    eval_step = make_eval_step(model_cfg, loss_cfg, learn_on=cfg.learn_on,
+    base_eval = make_eval_step(model_cfg, loss_cfg, learn_on=cfg.learn_on,
                                compute_dtype=dtype, multistep=cfg.multistep)
+    # a short final val batch (drop_last=False) need not divide over the
+    # data axis; those remainder batches run on the single-device step
+    eval_step_local = jax.jit(base_eval)
     if mesh is not None:
-        train_step = make_sharded_train_step(train_step, mesh, spatial=False,
+        train_step = make_sharded_train_step(train_step, mesh, spatial=spatial,
                                              batch_keys=tuple(keep))
-        eval_step = make_sharded_eval_step(eval_step, mesh, spatial=False)
+        eval_step_sharded = make_sharded_eval_step(base_eval, mesh,
+                                                   spatial=spatial)
     else:
         train_step = jax.jit(train_step)
-        eval_step = jax.jit(eval_step)
+        eval_step_sharded = None
+
+    def eval_divisible(bsz: int) -> bool:
+        return mesh is not None and bsz % mesh.devices.shape[0] == 0
 
     aug_cfg = AugmentConfig(eyes=2 if binocular else 1)
     aug = jax.jit(lambda k, b: augment_batch(k, b, aug_cfg))
 
     # training-time spike observability: per-tap densities on one val batch
-    # (one extra forward every cfg.log_firing_rates epochs)
+    # (one extra forward every cfg.log_firing_rates epochs), profiled over
+    # the full T-step sequence the model actually trains with
     rate_fn = None
     if cfg.log_firing_rates:
-        rate_fn = jax.jit(lambda p, frame: jnp.stack(
-            [firing_rates(p, frame, model_cfg)[k] for k in TAP_NAMES]))
+        rate_fn = jax.jit(lambda p, chunks: jnp.stack(
+            [firing_rates_sequence(p, chunks, model_cfg)[k]
+             for k in TAP_NAMES]))
 
     logger = MetricsLogger(cfg.checkpoint_dir)
     logger.text(
@@ -291,7 +367,7 @@ def train_loop(
         f"multistep={cfg.multistep} lr={cfg.learning_rate} "
         f"dtype={cfg.compute_dtype} augment={cfg.augment}")
 
-    def prep(batch: Dict, train: bool = True) -> Dict:
+    def prep(batch: Dict, train: bool = True, shard: bool = True) -> Dict:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if cfg.augment and train:
             nonlocal aug_key
@@ -300,22 +376,20 @@ def train_loop(
         # eval consumes only the canonical triple (no warmup/init_pots)
         keys = keep if train else ("chunks", "gt", "mask")
         batch = {k: batch[k] for k in keys if k in batch}
-        if mesh is not None:
-            batch = shard_batch(batch, mesh, spatial=False)
+        if mesh is not None and shard:
+            batch = shard_batch(batch, mesh, spatial=spatial)
         return batch
 
     aug_key = jax.random.fold_in(rng, 1234)
     start_epoch = int(state.epoch)
     done = False
     summary: Dict = {}
-    batch_kw = dict(binocular=binocular, n_timesteps=cfg.n_timesteps,
-                    include_warmup=cfg.use_warmup)
 
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         train_loss = train_mde = n_steps = 0
-        for batch in batches(train_view, cfg.batch_size, shuffle=True,
-                             seed=cfg.seed + epoch, **batch_kw):
+        for batch in _batch_iter(cfg, train_view, shuffle=True,
+                                 seed=cfg.seed + epoch):
             state, metrics = train_step(state, prep(batch))
             train_loss += float(metrics["loss"])
             train_mde += float(metrics["mde"])
@@ -325,26 +399,32 @@ def train_loop(
                 break
         train_time = time.time() - t0
 
-        # validation (reference train.py:275-335)
+        # validation (reference train.py:275-335). eval_step returns
+        # per-sample means, so weighting by the batch's sample count makes
+        # the epoch statistics exactly the reference's per-sample math even
+        # with batch_size > 1 and a short final batch (drop_last=False).
         t0 = time.time()
-        val_loss = val_mde = n_val = 0
+        val_loss = val_mde = n_val = n_val_batches = 0
         fr_scalars: Dict[str, float] = {}
-        for batch in batches(val_view, cfg.batch_size, drop_last=False,
-                             **batch_kw):
-            out = eval_step(state.params, prep(batch, train=False))
-            val_loss += float(out["loss"])
-            val_mde += float(out["mde"])
-            if n_val == 0 and cfg.save_viz:
+        for batch in _batch_iter(cfg, val_view, drop_last=False):
+            bsz = batch["gt"].shape[0]
+            use_mesh = eval_divisible(bsz)
+            step = eval_step_sharded if use_mesh else eval_step_local
+            out = step(state.params, prep(batch, train=False, shard=use_mesh))
+            val_loss += float(out["loss"]) * bsz
+            val_mde += float(out["mde"]) * bsz
+            if n_val_batches == 0 and cfg.save_viz:
                 _save_viz_panel(
                     os.path.join(_viz_dir(cfg), f"epoch_{epoch:04d}.png"),
                     batch, out["depth"], title=f"epoch {epoch}")
-            if (n_val == 0 and rate_fn is not None
+            if (n_val_batches == 0 and rate_fn is not None
                     and epoch % cfg.log_firing_rates == 0):
-                frame = jnp.asarray(batch["chunks"])[:, 0]
-                rates = np.asarray(rate_fn(state.params, frame))
+                rates = np.asarray(
+                    rate_fn(state.params, jnp.asarray(batch["chunks"])))
                 fr_scalars = {f"fr_{k}": float(v)
                               for k, v in zip(TAP_NAMES, rates)}
-            n_val += 1
+            n_val += bsz
+            n_val_batches += 1
         val_time = time.time() - t0
 
         state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
@@ -391,7 +471,6 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
         return _ann_eval_loop(cfg, synthetic=synthetic, data=data, which=which)
     model_cfg = build_model_config(cfg)
     loss_cfg = _loss_config(cfg)
-    binocular = cfg.model != "stereospike_monocular"
     test_view = _test_view(cfg, synthetic, data)
 
     params = _load_params(cfg, model_cfg, which)
@@ -400,20 +479,25 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
                                        learn_on=cfg.learn_on,
                                        compute_dtype=_compute_dtype(cfg),
                                        multistep=cfg.multistep))
-    tot_loss = tot_mde = n = 0
-    for batch in batches(test_view, cfg.batch_size, binocular=binocular,
-                         drop_last=False, n_timesteps=cfg.n_timesteps):
+    # eval_step returns per-sample means; weight by the batch's sample count
+    # so batch_size>1 + drop_last=False reproduce the reference's per-sample
+    # accumulation (test.py:157-173) exactly
+    tot_loss = tot_mde = n_samples = n = 0
+    for batch in _batch_iter(cfg, test_view, drop_last=False):
         b = {k: jnp.asarray(batch[k]) for k in ("chunks", "gt", "mask")}
+        bsz = batch["gt"].shape[0]
         out = eval_step(params, b)
-        tot_loss += float(out["loss"])
-        tot_mde += float(out["mde"])
+        tot_loss += float(out["loss"]) * bsz
+        tot_mde += float(out["mde"]) * bsz
         if cfg.save_viz and n % cfg.save_viz == 0:
             _save_viz_panel(
                 os.path.join(_viz_dir(cfg), f"test_{n:05d}.png"),
                 batch, out["depth"], title=f"test batch {n}")
+        n_samples += bsz
         n += 1
-    results = {"test_loss": tot_loss / max(n, 1), "test_MDE": tot_mde / max(n, 1),
-               "n_batches": n}
+    results = {"test_loss": tot_loss / max(n_samples, 1),
+               "test_MDE": tot_mde / max(n_samples, 1),
+               "n_batches": n, "n_samples": n_samples}
     logger = MetricsLogger(cfg.checkpoint_dir, name="test")
     logger.log(results)
     logger.text(f"Test loss: {results['test_loss']:.4f}  "
@@ -431,7 +515,6 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
         raise ValueError("firing-rates profiles spike densities; ANN models "
                          "have no spikes (use an SNN model)")
     model_cfg = build_model_config(cfg)
-    binocular = cfg.model != "stereospike_monocular"
     test_view = _test_view(cfg, synthetic, data)
 
     params = _load_params(cfg, model_cfg, which)
@@ -439,19 +522,20 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
     # ONE forward per batch returning all 14 tap densities, stacked on
     # device and fetched once (D2H round-trips through the device tunnel are
     # the expensive part here). No-grad → inference execution profile.
+    # Densities cover the FULL T-step sequence (state carried, mean over
+    # steps) — at the reference recipe's T=1 this is exactly its stateless
+    # per-chunk measurement (calculate_firing_rates.py:125-135).
     rates_cfg = model_cfg.for_inference()
 
-    def _rates(p, frame):
-        taps = firing_rates(p, frame, rates_cfg)
+    def _rates(p, chunks):
+        taps = firing_rates_sequence(p, chunks, rates_cfg)
         return jnp.stack([taps[k] for k in TAP_NAMES])
 
     rate_fn = jax.jit(_rates)
     acc = np.zeros(len(TAP_NAMES))
     n = 0
-    for batch in batches(test_view, cfg.batch_size, binocular=binocular,
-                         drop_last=False, n_timesteps=cfg.n_timesteps):
-        frame = jnp.asarray(batch["chunks"])[:, 0]
-        acc += np.asarray(rate_fn(params, frame))
+    for batch in _batch_iter(cfg, test_view, drop_last=False):
+        acc += np.asarray(rate_fn(params, jnp.asarray(batch["chunks"])))
         n += 1
     out = {k: float(v) / max(n, 1) for k, v in zip(TAP_NAMES, acc)}
 
@@ -510,16 +594,22 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
             raise ValueError("events_dir is a monocular (DENSE-format) "
                              "source; use model=stereospike_monocular")
         # the evaluator's bin grid is window/nfpdm, baked into its jitted
-        # step — derive the window from the first file's actual time span
-        # (DENSE runs at 30 fps ≈ 33 ms, not the MVSEC 50 ms; a fixed 50 ms
-        # window would mis-bin every file). The tiny headroom keeps the
-        # last event inside the final bin under floor(t/dt) binning.
-        first = aer_to_xytp(np.load(os.path.join(events_dir, files[0])),
-                            aer_format)
-        window_s = max(float(first[-1, 2]) - float(first[0, 2]), 1e-6) * (1 + 1e-6)
+        # step — derive the window from the MAX time span across the files
+        # being served (DENSE runs at 30 fps ≈ 33 ms, not the MVSEC 50 ms,
+        # and inter-depth spans are not exactly constant: sizing from only
+        # the first file would silently mask out the tail events of any
+        # longer window in the voxelizer's f < n_frames dump bin). The tiny
+        # headroom keeps the last event inside the final bin under
+        # floor(t/dt) binning.
+        served = files[:n_windows]
+        spans = []
+        for f in served:
+            ev = aer_to_xytp(np.load(os.path.join(events_dir, f)), aer_format)
+            spans.append(float(ev[-1, 2]) - float(ev[0, 2]))
+        window_s = max(max(spans), 1e-6) * (1 + 1e-6)
 
         def windows():
-            for f in files[:n_windows]:
+            for f in served:
                 ev = aer_to_xytp(np.load(os.path.join(events_dir, f)),
                                  aer_format).astype(np.float64)
                 ev[:, 2] -= ev[0, 2]
@@ -629,8 +719,8 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     summary: Dict = {}
     for epoch in range(int(state.epoch), cfg.epochs):
         train_loss = train_mde = n_steps = 0
-        for batch in batches(train_view, cfg.batch_size, shuffle=True,
-                             seed=cfg.seed + epoch):
+        for batch in _batch_iter(cfg, train_view, shuffle=True,
+                                 seed=cfg.seed + epoch):
             state, metrics = train_step(state, prep(batch))
             train_loss += float(metrics["loss"])
             train_mde += float(metrics["mde"])
@@ -639,11 +729,12 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 done = True
                 break
         val_loss = val_mde = n_val = 0
-        for batch in batches(val_view, cfg.batch_size, drop_last=False):
+        for batch in _batch_iter(cfg, val_view, drop_last=False):
+            bsz = batch["gt"].shape[0]
             out = eval_step(state.params, state.bn_state, prep(batch, False))
-            val_loss += float(out["loss"])
-            val_mde += float(out["mde"])
-            n_val += 1
+            val_loss += float(out["loss"]) * bsz
+            val_mde += float(out["mde"]) * bsz
+            n_val += bsz
         state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
         scalars = {"train_loss": train_loss / max(n_steps, 1),
                    "train_MDE": train_mde / max(n_steps, 1),
@@ -691,19 +782,22 @@ def _ann_eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
 
     eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
                                            learn_on=cfg.learn_on))
-    tot_loss = tot_mde = n = 0
-    for batch in batches(test_view, cfg.batch_size, drop_last=False):
+    tot_loss = tot_mde = n_samples = n = 0
+    for batch in _batch_iter(cfg, test_view, drop_last=False):
         b = {k: jnp.asarray(batch[k]) for k in ("chunks", "gt", "mask")}
+        bsz = batch["gt"].shape[0]
         out = eval_step(params, bn_state, b)
-        tot_loss += float(out["loss"])
-        tot_mde += float(out["mde"])
+        tot_loss += float(out["loss"]) * bsz
+        tot_mde += float(out["mde"]) * bsz
         if cfg.save_viz and n % cfg.save_viz == 0:
             _save_viz_panel(
                 os.path.join(_viz_dir(cfg), f"test_{n:05d}.png"),
                 batch, out["depth"], title=f"test batch {n}")
+        n_samples += bsz
         n += 1
-    results = {"test_loss": tot_loss / max(n, 1),
-               "test_MDE": tot_mde / max(n, 1), "n_batches": n}
+    results = {"test_loss": tot_loss / max(n_samples, 1),
+               "test_MDE": tot_mde / max(n_samples, 1),
+               "n_batches": n, "n_samples": n_samples}
     logger = MetricsLogger(cfg.checkpoint_dir, name="test")
     logger.log(results)
     logger.text(f"Test loss: {results['test_loss']:.4f}  "

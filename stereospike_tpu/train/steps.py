@@ -39,11 +39,36 @@ def _cast_tree(tree, dtype):
     )
 
 
+def per_sample_eval_stats(depths, spikes, gt, mask, loss_cfg: TotalLossConfig,
+                          learn_on: str):
+    """Per-sample loss/MDE means — the reference's batch_size=1 accumulation
+    math (train.py:275-335 / test.py:157-173: every sample's scalar weighs
+    equally, regardless of its valid-pixel count or which batch it landed
+    in). A batch-pooled masked mean would weight samples by valid pixels and
+    couple the scale-invariant quad term across samples; vmapping the loss
+    over the batch axis keeps each sample's n and (Σres)²/n² its own.
+
+    Returns ``(loss_mean, mde_mean)`` over the batch; accumulate these
+    weighted by the batch's sample count for exact dataset-level statistics
+    under ``drop_last=False``.
+    """
+    def one(dep, spk, g, m):
+        dep = [d[None] for d in dep]
+        spk = [s[None] for s in spk]
+        loss = total_loss(dep, g[None], m[None], spk, loss_cfg)
+        mde = mean_depth_error(convert_to_lin(dep[0], learn_on),
+                               convert_to_lin(g[None], learn_on), m[None])
+        return loss, mde
+
+    losses, mdes = jax.vmap(one)(tuple(depths), tuple(spikes or ()), gt, mask)
+    return jnp.mean(losses), jnp.mean(mdes)
+
+
 def _loss_and_metrics(params, batch: Dict, model_cfg: StereoSpikeConfig,
                       loss_cfg: TotalLossConfig, learn_on: str,
                       compute_dtype, remat: bool, multistep: bool = False,
                       use_warmup: bool = False, use_init_pots: bool = False,
-                      axis_name=None):
+                      axis_name=None, per_sample: bool = False):
     chunks = batch["chunks"].astype(compute_dtype)
     p = _cast_tree(params, compute_dtype) if compute_dtype != jnp.float32 else params
     if multistep:
@@ -77,6 +102,10 @@ def _loss_and_metrics(params, batch: Dict, model_cfg: StereoSpikeConfig,
     depths = [d.astype(jnp.float32) for d in depths]
     spikes = [s.astype(jnp.float32) for s in spikes]
     gt, mask = batch["gt"], batch["mask"]
+    if per_sample:
+        loss, mde = per_sample_eval_stats(depths, spikes, gt, mask, loss_cfg,
+                                          learn_on)
+        return loss, (mde, depths[0])
     loss = total_loss(depths, gt, mask, spikes, loss_cfg, axis_name)
     lin_pred = convert_to_lin(depths[0], learn_on)
     lin_gt = convert_to_lin(gt, learn_on)
@@ -141,6 +170,11 @@ def make_eval_step(
     """Build ``eval_step(params, batch) -> {'loss', 'mde', 'depth'}``
     (the reference's no-grad val/test body, train.py:275-335 / test.py:101-173).
 
+    ``loss``/``mde`` are PER-SAMPLE means over the batch (the reference's
+    batch_size=1 accumulation math — see :func:`per_sample_eval_stats`);
+    callers accumulate them weighted by the batch's sample count so a short
+    final batch under ``drop_last=False`` weighs by its samples, not 1.
+
     No-grad forward: runs the inference execution profile
     (phase-stacked decoder, ``StereoSpikeConfig.for_inference``)."""
     model_cfg = model_cfg.for_inference()
@@ -148,7 +182,7 @@ def make_eval_step(
     def step(params: Dict, batch: Dict):
         loss, (mde, depth) = _loss_and_metrics(
             params, batch, model_cfg, loss_cfg, learn_on, compute_dtype,
-            False, multistep)
+            False, multistep, per_sample=True)
         return {"loss": loss, "mde": mde, "depth": depth}
 
     return step

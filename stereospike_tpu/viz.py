@@ -85,12 +85,21 @@ def save_panel(path: str, *args, **kwargs) -> None:
 
 
 def _depth_to_rgb(depth: np.ndarray) -> np.ndarray:
-    """NaN/invalid → 0, min-max normalize to uint8 grayscale RGB (the
-    reference's per-frame processing, ``datasets/MVSEC/utils.py:100-106``)."""
-    f = np.nan_to_num(np.asarray(depth, np.float32).squeeze(), nan=0.0)
-    lo, hi = float(f.min()), float(f.max())
-    f = (f - lo) * (255.0 / (hi - lo)) if hi > lo else np.zeros_like(f)
-    g = f.astype(np.uint8)
+    """Min-max normalize to uint8 grayscale RGB (the reference's per-frame
+    processing, ``datasets/MVSEC/utils.py:100-106``).
+
+    The scale is computed over VALID pixels only (nanmin/nanmax): zeroing
+    NaNs first would pin lo to 0 whenever a frame has any invalid pixel and
+    crush the real depth range (typically all > 1 m) into the upper band.
+    Invalid pixels render as black after normalization."""
+    f = np.asarray(depth, np.float32).squeeze()
+    valid = np.isfinite(f)
+    if not valid.any():
+        z = np.zeros(f.shape, np.uint8)
+        return np.stack([z, z, z], axis=-1)
+    lo, hi = float(np.nanmin(f)), float(np.nanmax(f))
+    g = (f - lo) * (255.0 / (hi - lo)) if hi > lo else np.zeros_like(f)
+    g = np.where(valid, g, 0.0).astype(np.uint8)
     return np.stack([g, g, g], axis=-1)
 
 

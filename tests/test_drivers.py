@@ -393,3 +393,61 @@ def test_cli_export_pth_ann(tmp_path):
     params, bn_state = load_torch_ann_checkpoint(pth)
     assert "bottom" in params and "bn_bottom" in params
     assert "mean" in bn_state["bn_bottom"]
+
+
+def test_dense_train_eval_end_to_end(tmp_path):
+    """dataset=dense trains/evals from the driver (monocular CARLA tree;
+    the reference only ships a loader, dense_dataset.py — here the
+    advertised DENSE capability runs end-to-end)."""
+    from stereospike_tpu.train.loop import eval_loop, train_loop
+
+    cfg = TrainConfig(dataset="dense", model="stereospike_monocular",
+                      in_hw=(48, 64), batch_size=2, epochs=1, learn_on="LOG",
+                      checkpoint_dir=str(tmp_path / "dense_ckpt"))
+    summary = train_loop(cfg, synthetic=True, max_steps=2)
+    assert np.isfinite(summary["train_loss"])
+    assert has_checkpoint(cfg.checkpoint_dir)
+    results = eval_loop(cfg, synthetic=True)
+    assert np.isfinite(results["test_MDE"]) and results["n_samples"] >= 1
+
+
+def test_dense_guard_rejects_bad_configs(tmp_path):
+    from stereospike_tpu.train.loop import train_loop
+
+    bad = [
+        dict(model="stereospike"),                       # binocular
+        dict(model="stereospike_monocular", n_timesteps=2, n_inference=2),
+        dict(model="stereospike_monocular", use_warmup=True),
+        dict(model="stereospike_monocular", learn_on="DISP"),
+    ]
+    for kw in bad:
+        cfg = TrainConfig(dataset="dense", in_hw=(48, 64),
+                          checkpoint_dir=str(tmp_path / "x"), **kw)
+        with pytest.raises(ValueError):
+            train_loop(cfg, synthetic=True, max_steps=1)
+
+
+def test_cli_export_pth_requires_checkpoint(tmp_path):
+    """A typo'd --checkpoint-dir must not silently export random-init
+    weights as a valid-looking .pth."""
+    from stereospike_tpu.cli import main
+
+    with pytest.raises(FileNotFoundError, match="refusing to export"):
+        main(["export-pth", "--out", str(tmp_path / "x.pth"),
+              "--in-hw", SMALL_HW, "--model", "stereospike_tempo",
+              "--checkpoint-dir", str(tmp_path / "does_not_exist")])
+
+
+def test_depth_to_rgb_scales_over_valid_pixels_only():
+    """A frame with one NaN must not have its valid range crushed into the
+    upper band (lo must come from nanmin, not from the zeroed NaN)."""
+    from stereospike_tpu.viz import _depth_to_rgb
+
+    d = np.full((4, 4), 5.0, np.float32)
+    d[0, 0] = np.nan
+    d[3, 3] = 9.0
+    rgb = _depth_to_rgb(d)
+    assert rgb[0, 0, 0] == 0     # invalid → black
+    assert rgb[1, 1, 0] == 0     # min valid maps to 0, not mid-band
+    assert rgb[3, 3, 0] == 255
+    assert _depth_to_rgb(np.full((2, 2), np.nan, np.float32)).max() == 0

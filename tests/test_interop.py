@@ -199,3 +199,33 @@ def test_ann_state_dict_round_trip_and_driver():
                                 checkpoint_dir=os.path.join(tmp, "ck")),
                     synthetic=True)
     assert np.isfinite(out["test_loss"]) and out["n_batches"] > 0
+
+
+def test_cutpredict_export_includes_defined_pred4():
+    """The reference cut-predict class still DEFINES predict_depth4
+    (SNN_models.py:835), so its strict load_state_dict demands those keys;
+    export must synthesize them for a pytree without a pred4 leaf, and
+    import must drop (not load) the dead tensors."""
+    from stereospike_tpu.interop import (
+        params_from_torch_state_dict,
+        params_to_torch_state_dict,
+    )
+    from stereospike_tpu.models import init_params
+    from stereospike_tpu.models.factory import stereospike_cutpredict
+
+    cfg = stereospike_cutpredict(in_hw=(48, 64))
+    assert cfg.heads == (1, 2, 3)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "pred4" not in params
+
+    sd = params_to_torch_state_dict(params)
+    assert "predict_depth4.0.up.1.weight" in sd
+    assert sd["predict_depth4.0.up.1.weight"].shape == (1, 256, 3, 3)
+    assert not sd["predict_depth4.0.up.1.weight"].any()
+
+    # round trip: the synthesized head keys are consumed (strict passes)
+    # but do NOT become pytree leaves
+    back = params_from_torch_state_dict(sd, cfg, strict=True)
+    assert "pred4" not in back
+    np.testing.assert_array_equal(np.asarray(back["pred1"]["w"]),
+                                  np.asarray(params["pred1"]["w"]))
