@@ -37,7 +37,19 @@ import jax
 import jax.numpy as jnp
 
 from stereospike_tpu.models.stereospike import StereoSpikeConfig, init_state
-from stereospike_tpu.nn.blocks import connect, conv_scale, upsample_conv_scale
+from stereospike_tpu.nn.blocks import (
+    _apply_scale,
+    connect,
+    conv_scale,
+    upsample_conv_scale,
+)
+from stereospike_tpu.nn.layers import (
+    _upsample_conv_1out_s2d,
+    conv2d_s2d,
+    depth_to_space,
+    space_to_depth,
+    upsample_conv_s2d_out,
+)
 from stereospike_tpu.snn.neurons import if_step, lif_step, plif_step
 from stereospike_tpu.snn.pallas_kernels import multistep_fire
 from stereospike_tpu.snn.surrogate import make_spike_fn
@@ -148,10 +160,25 @@ def forward_multistep(
     # one transpose in: [B, T, ...] → [T·B, ...]; all internal layouts T-major
     x = jnp.swapaxes(frames, 0, 1).reshape((T * B,) + frames.shape[2:])
 
-    out_bottom = fire("bottom", conv_scale(x, params["bottom"], stride=1,
-                                           padding=2, static_scale=ms))
-    out_conv1 = fire("conv1", conv_scale(out_bottom, params["conv1"], stride=2,
-                                         padding=2, static_scale=ms))
+    use_s2d = cfg.use_s2d_level0
+    if use_s2d:
+        # s2d-canonical level 0 (models/stereospike.py forward): full-res
+        # tensors as [T·B, H/2, W/2, 4C], expanded-kernel encoder convs,
+        # phase deconv1 with no relayout
+        x0 = space_to_depth(x)
+        out_bottom = fire("bottom", _apply_scale(
+            conv2d_s2d(x0, params["bottom"]["w"], params["bottom"].get("b"),
+                       stride=1), params["bottom"], ms))
+        out_conv1 = fire("conv1", _apply_scale(
+            conv2d_s2d(out_bottom, params["conv1"]["w"],
+                       params["conv1"].get("b"), stride=2),
+            params["conv1"], ms))
+    else:
+        out_bottom = fire("bottom", conv_scale(x, params["bottom"], stride=1,
+                                               padding=2, static_scale=ms))
+        out_conv1 = fire("conv1", conv_scale(out_bottom, params["conv1"],
+                                             stride=2, padding=2,
+                                             static_scale=ms))
     out_conv2 = fire("conv2", conv_scale(out_conv1, params["conv2"], stride=2,
                                          padding=2, static_scale=ms))
     out_conv3 = fire("conv3", conv_scale(out_conv2, params["conv3"], stride=2,
@@ -174,15 +201,28 @@ def forward_multistep(
 
     xdec = out_rconv
     for scale in (4, 3, 2, 1):
-        xdec = fire(f"deconv{scale}", upsample_conv_scale(
-            xdec, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
-            static_scale=ms, phase=cfg.phase_upsample))
+        if scale == 1 and use_s2d:
+            xdec = fire("deconv1", _apply_scale(
+                upsample_conv_s2d_out(xdec, params["deconv1"]["w"],
+                                      target_hw=sizes[0]),
+                params["deconv1"], ms))
+        else:
+            xdec = fire(f"deconv{scale}", upsample_conv_scale(
+                xdec, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
+                static_scale=ms, phase=cfg.phase_upsample))
         if cfg.use_skips:
             xdec = xdec + skips[scale - 1]
-        spikes_last.append(xdec.reshape((T, B) + xdec.shape[1:])[-1])
+        last = xdec.reshape((T, B) + xdec.shape[1:])[-1]
+        spikes_last.append(depth_to_space(last)
+                           if scale == 1 and use_s2d else last)
         if scale in cfg.heads:
-            ch = upsample_conv_scale(xdec, params[f"pred{scale}"],
-                                     target_hw=sizes[0], static_scale=ms)
+            if scale == 1 and use_s2d:
+                ch = _apply_scale(_upsample_conv_1out_s2d(
+                    xdec, params["pred1"]["w"], params["pred1"].get("b"),
+                    sizes[0]), params["pred1"], ms)
+            else:
+                ch = upsample_conv_scale(xdec, params[f"pred{scale}"],
+                                         target_hw=sizes[0], static_scale=ms)
             charges[scale] = ch.reshape((T, B) + ch.shape[1:])
 
     # depth-integrator pool: within step t heads charge in order 4→1, and

@@ -36,11 +36,19 @@ import jax
 import jax.numpy as jnp
 
 from stereospike_tpu.nn.blocks import (
+    _apply_scale,
     conv_scale,
     init_conv_block,
     init_sew_block,
     sew_block_apply,
     upsample_conv_scale,
+)
+from stereospike_tpu.nn.layers import (
+    _upsample_conv_1out_s2d,
+    conv2d_s2d,
+    depth_to_space,
+    space_to_depth,
+    upsample_conv_s2d_out,
 )
 from stereospike_tpu.snn.neurons import if_step, integrator_step, lif_step, plif_step, plif_w_from_tau
 from stereospike_tpu.snn.surrogate import make_spike_fn
@@ -90,6 +98,13 @@ class StereoSpikeConfig:
     # that is faster forward-only but slower under BPTT (see
     # nn/layers.upsample_conv) — inference drivers flip this on
     phase_upsample: bool = False
+    # space-to-depth-canonical level 0: every full-resolution tensor lives
+    # as [B, H/2, W/2, 4C] (2×2 pixel block on the lane dimension), so the
+    # small-C full-res convs are lane-dense and deconv1's phase-stacked
+    # upsample-conv needs NO depth-to-space relayout (the relayout is what
+    # made phase-stacking lose under BPTT — nn/layers.space_to_depth).
+    # Math-identical up to float reassociation; auto-disabled for odd in_hw.
+    s2d_level0: bool = True
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -118,6 +133,12 @@ class StereoSpikeConfig:
         should construct its config through this, keeping the policy in
         one place."""
         return dataclasses.replace(self, phase_upsample=True)
+
+    @property
+    def use_s2d_level0(self) -> bool:
+        """The s2d execution layout needs even level-0 dims (260×346 ✓)."""
+        return bool(self.s2d_level0
+                    and self.in_hw[0] % 2 == 0 and self.in_hw[1] % 2 == 0)
 
     @property
     def effective_sew_neuron(self) -> str:
@@ -174,6 +195,10 @@ def init_state(cfg: StereoSpikeConfig, batch: int, dtype=jnp.float32) -> Dict:
     s = cfg.sizes
 
     def z(level: int, ch: int) -> Array:
+        if level == 0 and cfg.use_s2d_level0:
+            # level-0 membrane potentials live in the s2d execution layout
+            return jnp.zeros((batch, s[0][0] // 2, s[0][1] // 2, 4 * ch),
+                             dtype)
         return jnp.zeros((batch, s[level][0], s[level][1], ch), dtype)
 
     state = {
@@ -190,7 +215,9 @@ def init_state(cfg: StereoSpikeConfig, batch: int, dtype=jnp.float32) -> Dict:
         "deconv3": z(2, c[2]),
         "deconv2": z(1, c[1]),
         "deconv1": z(0, c[0]),
-        "Ineurons": z(0, 1),
+        # the depth-integrator pool is ALWAYS canonical [B, H, W, 1]: the
+        # heads emit canonical charges and the loss consumes depths directly
+        "Ineurons": jnp.zeros((batch, s[0][0], s[0][1], 1), dtype),
     }
     return state
 
@@ -249,6 +276,7 @@ def forward(
     fire = _make_fire(params, cfg, state, new_state)
     ms = cfg.multiply_factor if not cfg.learnable_multiply else 1.0
     sizes = cfg.sizes
+    use_s2d = cfg.use_s2d_level0
     taps: Dict[str, Array] = {}
 
     def tap(name: str, x: Array) -> Array:
@@ -256,11 +284,24 @@ def forward(
             taps[name] = x
         return x
 
-    # encoder
-    out_bottom = tap("out_bottom", fire("bottom", conv_scale(
-        frame, params["bottom"], stride=1, padding=2, static_scale=ms)))
-    out_conv1 = tap("out_conv1", fire("conv1", conv_scale(
-        out_bottom, params["conv1"], stride=2, padding=2, static_scale=ms)))
+    # encoder. On the s2d execution path every level-0 tensor lives as
+    # [B, H/2, W/2, 4C] (nn/layers.space_to_depth): bottom/conv1 run with
+    # expanded kernels on that grid, and no full-res layout op exists
+    # anywhere in the program. Math identical up to float reassociation.
+    if use_s2d:
+        x0 = space_to_depth(frame)
+        out_bottom = tap("out_bottom", fire("bottom", _apply_scale(
+            conv2d_s2d(x0, params["bottom"]["w"], params["bottom"].get("b"),
+                       stride=1), params["bottom"], ms)))
+        out_conv1 = tap("out_conv1", fire("conv1", _apply_scale(
+            conv2d_s2d(out_bottom, params["conv1"]["w"],
+                       params["conv1"].get("b"), stride=2),
+            params["conv1"], ms)))
+    else:
+        out_bottom = tap("out_bottom", fire("bottom", conv_scale(
+            frame, params["bottom"], stride=1, padding=2, static_scale=ms)))
+        out_conv1 = tap("out_conv1", fire("conv1", conv_scale(
+            out_bottom, params["conv1"], stride=2, padding=2, static_scale=ms)))
     out_conv2 = tap("out_conv2", fire("conv2", conv_scale(
         out_conv1, params["conv2"], stride=2, padding=2, static_scale=ms)))
     out_conv3 = tap("out_conv3", fire("conv3", conv_scale(
@@ -286,16 +327,32 @@ def forward(
 
     x = out_rconv
     for scale in (4, 3, 2, 1):
-        x = tap(f"out_deconv{scale}", fire(f"deconv{scale}", upsample_conv_scale(
-            x, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
-            static_scale=ms, phase=cfg.phase_upsample)))
+        if scale == 1 and use_s2d:
+            # phase-stacked upsample-conv landing directly in the s2d layout
+            x = tap("out_deconv1", fire("deconv1", _apply_scale(
+                upsample_conv_s2d_out(x, params["deconv1"]["w"],
+                                      target_hw=sizes[0]),
+                params["deconv1"], ms)))
+        else:
+            x = tap(f"out_deconv{scale}", fire(f"deconv{scale}",
+                    upsample_conv_scale(
+                        x, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
+                        static_scale=ms, phase=cfg.phase_upsample)))
         if cfg.use_skips:
             x = x + skips[scale - 1]
         x = tap(f"out_add{scale}", x)
-        spikes.append(x)
+        # public spike-tensor contract stays canonical full-res; the d2s is
+        # dead code unless spike penalization consumes it
+        spikes.append(depth_to_space(x) if scale == 1 and use_s2d else x)
         if scale in cfg.heads:
-            charge = upsample_conv_scale(
-                x, params[f"pred{scale}"], target_hw=sizes[0], static_scale=ms)
+            if scale == 1 and use_s2d:
+                charge = _apply_scale(_upsample_conv_1out_s2d(
+                    x, params["pred1"]["w"], params["pred1"].get("b"),
+                    sizes[0]), params["pred1"], ms)
+            else:
+                charge = upsample_conv_scale(
+                    x, params[f"pred{scale}"], target_hw=sizes[0],
+                    static_scale=ms)
             v_depth = integrator_step(v_depth, charge)
             depths_by_scale[scale] = v_depth
 

@@ -108,12 +108,16 @@ def nearest_upsample(x: Array, size: Tuple[int, int]) -> Array:
     semantics: src = floor(dst·in/out)).
 
     Implemented as matmuls against constant 0/1 selection matrices. Measured
-    on TPU this beats both a gather (slow forward, and its transpose is a
-    serialized scatter that made the backward ~30× the forward) and a
-    cumsum-based custom transpose (~3× slower still): the MXU eats the extra
-    FLOPs and the autodiff transpose is just another matmul. W-axis first —
+    on TPU this beats a gather (slow forward, and its transpose is a
+    serialized scatter that made the backward ~30× the forward), a
+    cumsum-based custom transpose (~3× slower still), AND a repeat+static-
+    concat decomposition (15 vs 4.9 ms fwd at the deconv1 shape — XLA's
+    concat lowering loses to the MXU eating selection FLOPs). W-axis first —
     it's the larger dimension, so contracting it at the lower resolution is
-    cheaper.
+    cheaper. (A polyphase decomposition of the composite upsample-then-conv
+    — 2.8× fewer MACs — was also measured and REJECTED: XLA's segment
+    assembly overheads made it slower end-to-end; see
+    benchmarks/deconv_attack.py and ROADMAP §2.)
     """
     h_in, w_in = x.shape[1], x.shape[2]
     h_out, w_out = size
@@ -204,6 +208,137 @@ def _upsample_conv_1out(x: Array, w: Array, b: Optional[Array],
         x.dtype)  # [k, w_t, w_in]
     a = jnp.einsum("ioh,bhwij->bowj", ph, z)   # Σ_{dy,h}: [B,h_t,w_in,dx]
     out = jnp.einsum("jpw,bowj->bop", pw, a)   # Σ_{dx,w}: [B,h_t,w_t]
+    out = out[..., None]
+    if b is not None:
+        out = out + b
+    return out
+
+
+def space_to_depth(x: Array) -> Array:
+    """[B, 2H, 2W, C] → [B, H, W, 4C]; channel block (p·2+q)·C+c holds the
+    (row-parity p, col-parity q) phase. This is the CANONICAL layout of
+    full-resolution tensors on the fast level-0 execution path: a 2×2
+    pixel block rides the 128-lane channel dimension, so small-C full-res
+    convs become lane-dense convs on the half-res grid and the decoder's
+    phase-stacked upsample-conv needs no depth-to-space relayout at all
+    (measured: the relayout cost made phase-stacking a net loss under BPTT
+    — ROADMAP §2)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: Array) -> Array:
+    """Inverse of :func:`space_to_depth`."""
+    n, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h2, w2, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2 * 2, w2 * 2, c)
+
+
+def _expand_s2d_kernel(w: Array, stride: int) -> Array:
+    """Recast a k5 conv kernel for s2d-layout input.
+
+    stride=1 (pad 2 on the original grid): output stays s2d — a 3×3 conv
+    [4ci → 4co] whose (p,q)→(a,b) channel blocks hold w's taps at the
+    right parities (output phase (a,b) at s2d (i,j) reads original rows
+    2i+a-2..2i+a+2 = s2d rows i-1..i+1).
+    stride=2: only phase (0,0) outputs survive → 3×3 conv [4ci → co] on
+    the s2d grid with stride 1 (the s2d grid IS the stride-2 grid).
+    Structural zeros cost MXU FLOPs (9·16/4 vs 25·4 per original pixel for
+    stride 1) but the lane-dense layout more than pays for them at small
+    C (measured: bottom fwd+bwd 8.5 → 5.6 ms at B=128 bf16).
+    """
+    k, _, ci, co = w.shape
+    assert k == 5, "s2d expansion is specialized to the k=5 encoder convs"
+    out_phases = ((0, 0),) if stride == 2 else ((0, 0), (0, 1), (1, 0), (1, 1))
+    e = jnp.zeros((3, 3, 4 * ci, len(out_phases) * co), w.dtype)
+    for o_idx, (a, b) in enumerate(out_phases):
+        for dy in range(k):
+            for dx in range(k):
+                m, n = a + dy - 2, b + dx - 2
+                u, p = m // 2, m % 2
+                v, q = n // 2, n % 2
+                e = e.at[u + 1, v + 1,
+                         (p * 2 + q) * ci:(p * 2 + q + 1) * ci,
+                         o_idx * co:(o_idx + 1) * co].add(w[dy, dx])
+    return e
+
+
+def conv2d_s2d(x_s2d: Array, w: Array, b: Optional[Array] = None, *,
+               stride: int = 1) -> Array:
+    """k5/p2 conv with input (and, for stride 1, output) in s2d layout.
+
+    Exactly ``s2d(conv2d(d2s(x), w, stride, padding=2))`` for stride 1 and
+    ``conv2d(d2s(x), w, 2, padding=2)`` for stride 2, with no layout ops —
+    the expansion happens in the (tiny) kernel instead of the activations.
+    """
+    out = conv2d(x_s2d, _expand_s2d_kernel(w, stride), stride=1, padding=1)
+    if b is not None:
+        reps = 4 if stride == 1 else 1
+        out = out + jnp.tile(b, reps)
+    return out
+
+
+def upsample_conv_s2d_out(x: Array, w: Array, *,
+                          target_hw: Tuple[int, int]) -> Array:
+    """nearest-upsample → k5 VALID conv with the output in s2d layout:
+    the 2×2-phase-stacked strided conv WITHOUT the depth-to-space epilogue
+    (output channel block (a·2+b)·co+c = phase (a,b) — s2d's convention).
+    Requires an even target. Measured fwd+bwd 42.4 ms vs 52.0 plain at the
+    deconv1 shape (B=128 bf16), and no relayout for downstream consumers
+    that live in s2d."""
+    k = w.shape[0]
+    assert target_hw[0] % 2 == 0 and target_hw[1] % 2 == 0
+    up = nearest_upsample(x, (target_hw[0] + k - 1, target_hw[1] + k - 1))
+    return _phase_conv_valid_stacked(up, w, 2, 2)
+
+
+def _phase_conv_valid_stacked(up: Array, w: Array, py: int, px: int) -> Array:
+    """The strided phase conv of :func:`_phase_conv_valid`, minus its
+    depth-to-space: output [B, H/py, W/px, py·px·co], phase-major."""
+    precision = (jax.lax.Precision.HIGHEST if up.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    wp = _phase_kernel(w, py, px).astype(up.dtype)
+    return jax.lax.conv_general_dilated(
+        up, wp, window_strides=(py, px), padding="VALID",
+        dimension_numbers=_DIMNUMS, precision=precision)
+
+
+@functools.lru_cache(maxsize=None)
+def _shifted_selection_s2d(in_size: int, up_size: int, shift: int,
+                           out_size: int) -> np.ndarray:
+    """Shifted-selection table addressing an s2d-layout source axis:
+    P[o, p, i2] = 1 iff nearest-source(o + shift) == 2·i2 + p."""
+    src = _nearest_indices(in_size, up_size)[shift:shift + out_size]
+    p = np.zeros((out_size, 2, in_size // 2), np.float32)
+    p[np.arange(out_size), src % 2, src // 2] = 1.0
+    return p
+
+
+def _upsample_conv_1out_s2d(x_s2d: Array, w: Array, b: Optional[Array],
+                            target_hw: Tuple[int, int]) -> Array:
+    """:func:`_upsample_conv_1out` with the input in s2d layout (the
+    prediction heads reading the s2d-canonical level 0). Identical math:
+    the 1×1 contraction is pointwise in space (so it runs directly on the
+    s2d tensor) and the shifted selections address (parity, half-index)
+    pairs instead of rows — same contraction sizes, zero relayout."""
+    k = w.shape[0]
+    h2, w2 = x_s2d.shape[1], x_s2d.shape[2]
+    h_in, w_in = 2 * h2, 2 * w2
+    h_t, w_t = target_hw
+    up_h, up_w = h_t + k - 1, w_t + k - 1
+    c = w.shape[2]
+    xp = x_s2d.reshape(x_s2d.shape[:3] + (2, 2, c))      # [B,h2,w2,p,q,c]
+    z = jnp.einsum("bhwpqc,ijc->bhwpqij", xp, w[..., 0])
+    ph = jnp.asarray(np.stack(
+        [_shifted_selection_s2d(h_in, up_h, dy, h_t) for dy in range(k)]),
+        x_s2d.dtype)                                     # [k, h_t, 2, h2]
+    pw = jnp.asarray(np.stack(
+        [_shifted_selection_s2d(w_in, up_w, dx, w_t) for dx in range(k)]),
+        x_s2d.dtype)                                     # [k, w_t, 2, w2]
+    a = jnp.einsum("ioph,bhwpqij->bowqj", ph, z)         # Σ_{dy,p,h2}
+    out = jnp.einsum("jsqw,bowqj->bos", pw, a)           # Σ_{dx,q,w2}
     out = out[..., None]
     if b is not None:
         out = out + b

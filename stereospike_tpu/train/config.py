@@ -64,9 +64,15 @@ class TrainConfig:
     # n_inference/n_timesteps chunks per step. 1 = the reference's layout
     # (everything channel-stacked, single timestep; train.py:200-218).
     n_timesteps: int = 1
-    # layer-major fused Pallas multistep path (models/multistep.py) instead
-    # of the step-major lax.scan — the fast path for n_timesteps > 1, the
-    # TPU analog of SpikingJelly's CUDA multi-step neurons (README.md:42-44)
+    # layer-major multistep path (models/multistep.py) instead of the
+    # step-major lax.scan: every conv batches over B·T merged samples and
+    # each neuron site runs a statically-unrolled T-step recurrence in the
+    # conv's native layout — the fast path for n_timesteps > 1 (~1.4× the
+    # scan) and the TPU analog of SpikingJelly's CUDA multi-step neurons
+    # (README.md:42-44). The alternative fused Pallas recurrence kernels
+    # exist (snn/pallas_kernels.py, use_pallas=True) but are not the
+    # default: their custom-call relayouts cost more than the fusion saves
+    # (models/multistep.py module docstring).
     multistep: bool = False
     # no-grad warmup inference before the train chunks (train.py:223-228)
     use_warmup: bool = False

@@ -191,3 +191,46 @@ def test_ann_forward_shapes_and_bn_state():
     d_eval, st2 = ann_forward(params, x, cfg, new_state, train=False)
     np.testing.assert_array_equal(np.asarray(st2["bn_bottom"]["mean"]),
                                   np.asarray(new_state["bn_bottom"]["mean"]))
+
+
+def test_s2d_level0_is_pure_layout_change():
+    """The s2d-canonical level-0 execution profile (s2d_level0=True, the
+    default) must be a pure layout change: in float64 depths, spikes and
+    integrator state match the plain layout to ~1e-9 (float32 only agrees
+    to spiking tolerance — reassociated conv sums can flip a
+    threshold-boundary spike)."""
+    import dataclasses
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = stereospike(in_hw=(48, 64))
+        assert cfg.use_s2d_level0
+        cfg_plain = dataclasses.replace(cfg, s2d_level0=False)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.float64),
+            init_params(jax.random.PRNGKey(0), cfg))
+        rng = np.random.default_rng(9)
+        frames = jnp.asarray(
+            rng.poisson(0.5, (2, 2, 48, 64, 4)).astype(np.float64))
+        d_s2d, s_s2d, st_s2d = forward_sequence(params, frames, cfg)
+        d_pl, s_pl, st_pl = forward_sequence(params, frames, cfg_plain)
+        for a, b in zip(d_s2d, d_pl):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-9)
+        for a, b in zip(s_s2d, s_pl):
+            assert a.shape == b.shape  # public contract stays canonical
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(st_s2d["Ineurons"]),
+                                   np.asarray(st_pl["Ineurons"]),
+                                   rtol=1e-9, atol=1e-9)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_s2d_level0_auto_disables_for_odd_hw():
+    cfg = stereospike(in_hw=(47, 64))
+    assert not cfg.use_s2d_level0
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    frame = jnp.zeros((1, 47, 64, 4))
+    depths, _, _ = forward(params, frame, cfg)
+    assert depths[0].shape == (1, 47, 64, 1)
