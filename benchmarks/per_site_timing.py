@@ -115,6 +115,26 @@ def main():
                lambda hw_in=hw_in, ci=ci, co=co: (rnd((B,) + hw_in + (ci,)),
                                                   rnd((5, 5, ci, co))))
 
+    # the s2d-canonical level-0 production forms (models/stereospike.py
+    # default): expanded-kernel bottom/conv1 + relayout-free phase deconv1
+    from stereospike_tpu.nn.layers import conv2d_s2d, upsample_conv_s2d_out
+
+    s2 = (sizes[0][0] // 2, sizes[0][1] // 2)
+    macs = B * sizes[0][0] * sizes[0][1] * 25 * cfg.in_channels * c[0]
+    record("bottom_s2d", macs,
+           lambda x, w: conv2d_s2d(x, w, stride=1),
+           lambda: (rnd((B,) + s2 + (4 * cfg.in_channels,)),
+                    rnd((5, 5, cfg.in_channels, c[0]))))
+    macs = B * sizes[1][0] * sizes[1][1] * 25 * c[0] * c[1]
+    record("conv1_s2d", macs,
+           lambda x, w: conv2d_s2d(x, w, stride=2),
+           lambda: (rnd((B,) + s2 + (4 * c[0],)), rnd((5, 5, c[0], c[1]))))
+    up1f = (sizes[0][0] + 4, sizes[0][1] + 4)
+    macs = B * up1f[0] * up1f[1] * 25 * c[1] * c[0]
+    record("deconv1_s2d", macs,
+           lambda x, w: upsample_conv_s2d_out(x, w, target_hw=sizes[0]),
+           lambda: (rnd((B,) + sizes[1] + (c[1],)), rnd((5, 5, c[1], c[0]))))
+
     # the bare selection-matmul upsample for the largest decoder level
     up1 = (sizes[0][0] + 4, sizes[0][1] + 4)
     macs = B * c[0] * (up1[0] * sizes[1][0] * sizes[1][1]

@@ -130,6 +130,42 @@ def main(n_windows: int = 50, events_per_window: int = 30000) -> dict:
         rt.append(time.perf_counter() - t0)
     d2h_ms = float(np.median(rt) * 1e3)
 
+    # ON-DEVICE serving rate: chain the jitted step back-to-back on device
+    # (state carry, no per-window H2D/D2H) and sync once — what the same
+    # code does on a locally-attached chip, where the tunnel round trips
+    # vanish. This is the number that decides device realtime capability.
+    evd = StreamingEvaluator(params, cfg, block=1 << 16,
+                             reset_each_window=False)
+    w0 = window(0)
+    evs = {e: jnp.asarray(evd._pad(w0[e])[0])[None] for e in ("left", "right")}
+    vals = {e: jnp.asarray(evd._pad(w0[e])[1])[None] for e in ("left", "right")}
+    state = evd._state
+    depth, state, _ = evd._step(params, state, evs, vals)  # compile
+    np.asarray(depth)
+    n_dev = 50
+    t0 = time.perf_counter()
+    for _ in range(n_dev):
+        depth, state, _ = evd._step(params, state, evs, vals)
+    np.asarray(depth)  # one sync for the whole chain
+    on_device_ms = (time.perf_counter() - t0) / n_dev * 1e3
+
+    # H2D upload cost of one window's padded event blocks (both eyes).
+    # block_until_ready does not truly sync on this backend (CLAUDE.md);
+    # sync by fetching a tiny on-device reduction of the uploaded buffers,
+    # then subtract the known D2H round trip.
+    tiny_sum = jax.jit(lambda a, b: jnp.sum(a[:8]) + jnp.sum(b[:8]))
+    wv = window(199)
+    _ = float(tiny_sum(jax.device_put(evd._pad(wv["left"])[0]),
+                       jax.device_put(evd._pad(wv["right"])[0])))  # compile
+    h2d = []
+    for i in range(10):
+        wv = window(200 + i)
+        b1, b2 = (evd._pad(wv[e])[0] for e in ("left", "right"))
+        t0 = time.perf_counter()
+        float(tiny_sum(jax.device_put(b1), jax.device_put(b2)))
+        h2d.append(time.perf_counter() - t0)
+    h2d_ms = max(float(np.median(h2d) * 1e3) - d2h_ms, 0.0)
+
     report = {
         "backend": jax.default_backend(),
         "resolution": list(hw),
@@ -148,10 +184,16 @@ def main(n_windows: int = 50, events_per_window: int = 30000) -> dict:
         "realtime_budget_ms": 50.0,
         "realtime_ok": bool(np.percentile(lat_ms, 99) < 50.0),
         "pipelined_realtime_ok": bool(np.percentile(pip_ms, 99) < 50.0),
-        # environment decomposition: per-window device compute is ~12 ms
-        # (2x voxelize ~2 ms + B=1 forward ~6 ms); the remainder is this
-        # backend's D2H round trip, measured here on a fresh tiny buffer
+        # environment decomposition: the chained on-device step rate is
+        # what a locally-attached chip serves at (no tunnel round trips);
+        # the end-to-end interval above additionally pays this backend's
+        # H2D upload + D2H fetch through the axon tunnel per window
+        "on_device_step_ms": round(on_device_ms, 3),
+        "device_realtime_ok": bool(on_device_ms < 50.0),
+        "device_hz": round(1e3 / on_device_ms, 1),
+        "h2d_window_ms": round(h2d_ms, 3),
         "d2h_roundtrip_ms": round(d2h_ms, 3),
+        "tunnel_overhead_ms": round(h2d_ms + d2h_ms, 3),
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "streaming_latency.json")

@@ -142,8 +142,16 @@ class StreamingEvaluator:
         self.reset_each_window = reset_each_window
         self.pipeline = int(pipeline)
         self.n_streams = int(n_streams)
-        # pipelined results in flight: (device depth, was_list_input)
-        self._pending: "collections.deque[Tuple[Array, bool]]" = collections.deque()
+        # events the voxelizer rejected (timestamp outside [0, window) or
+        # out-of-FOV after rectification) — distinct from the ring buffers'
+        # overwrite/truncation ``dropped``. Per-push device scalars are
+        # parked and only summed+fetched when ``binning_dropped`` is READ:
+        # an eager int() per push would add a whole D2H round trip (~30 ms
+        # on this tunnel) to the latency-critical path.
+        self._host_binning_dropped = 0
+        self._drop_scalars: list = []
+        # pipelined results in flight: (depth, dropped count, was_list)
+        self._pending: "collections.deque[Tuple[Array, Array, bool]]" = collections.deque()
         self.stream_buffers = [
             {e: EventRingBuffer(buffer_capacity) for e in eyes}
             for _ in range(self.n_streams)
@@ -159,30 +167,41 @@ class StreamingEvaluator:
         h, w = cfg.in_hw
         dt = window / nfpdm
 
-        def voxelize(ev: Array, valid: Array, eye: str) -> Array:
+        def voxelize(ev: Array, valid: Array, eye: str):
             if self._maps[eye] is not None:
                 ev, valid = rectify_events(ev, *self._maps[eye], valid,
                                            width=w, height=h)
             fr = events_to_frames(ev, valid, jnp.float32(0.0),
                                   jnp.float32(dt), n_frames=nfpdm,
                                   height=h, width=w)
+            # every binned event contributes exactly one count, so the
+            # difference against the input's valid rows is the number of
+            # events the window silently rejected (timestamp outside
+            # [0, window) → the voxelizer's dump bin, or out-of-FOV after
+            # rectification) — a mis-relativized live feed would otherwise
+            # show clean latencies and empty frames
+            dropped = jnp.sum(valid) - jnp.sum(fr)
             # [nfpdm, H, W, 2] -> [H, W, nfpdm*2] (frame, pol) stacking
-            return jnp.transpose(fr, (1, 2, 0, 3)).reshape(h, w, -1)
+            return jnp.transpose(fr, (1, 2, 0, 3)).reshape(h, w, -1), dropped
 
         def step(params, state, evs: Dict[str, Array], valids: Dict[str, Array]):
             frames = []
+            dropped = jnp.float32(0.0)
             for e in eyes:
                 if self.n_streams == 1:
                     # keep the previous B=1 lowering on the latency-critical
                     # single-camera path (no size-1 vmap dimension)
-                    frames.append(voxelize(evs[e][0], valids[e][0], e)[None])
+                    fr, dr = voxelize(evs[e][0], valids[e][0], e)
+                    frames.append(fr[None])
                 else:
                     # evs[e]: [S, block, 4]; vmap the voxelizer over streams
-                    frames.append(jax.vmap(lambda a, v, e=e: voxelize(a, v, e))(
-                        evs[e], valids[e]))
+                    fr, dr = jax.vmap(lambda a, v, e=e: voxelize(a, v, e))(
+                        evs[e], valids[e])
+                    frames.append(fr)
+                dropped = dropped + jnp.sum(dr)
             frame = jnp.concatenate(frames, axis=-1)  # [S, H, W, C]
             depths, _, new_state = forward(params, frame, self.cfg, state)
-            return depths[0], new_state
+            return depths[0], new_state, dropped
 
         self._step = jax.jit(step)
 
@@ -198,8 +217,18 @@ class StreamingEvaluator:
         valid[:n] = True
         return out, valid
 
+    @property
+    def binning_dropped(self) -> int:
+        """Total voxelizer-rejected events so far (one deferred D2H fetch)."""
+        if self._drop_scalars:
+            self._host_binning_dropped += int(np.asarray(
+                jnp.sum(jnp.stack(self._drop_scalars))))
+            self._drop_scalars.clear()
+        return self._host_binning_dropped
+
     def _fetch(self, pending) -> np.ndarray:
-        depth, was_list = pending
+        depth, dropped, was_list = pending
+        self._drop_scalars.append(dropped)
         # dict input -> [H, W, 1]; list input -> [S, H, W, 1] (even S = 1),
         # so code parameterized over n_streams can always index stream s
         return np.asarray(depth) if was_list else np.asarray(depth[0])
@@ -252,11 +281,12 @@ class StreamingEvaluator:
             valids[e] = jnp.asarray(np.stack(per_stream_valid))  # [S, block]
         state = (init_state(self.cfg, self.n_streams)
                  if self.reset_each_window else self._state)
-        depth, self._state = self._step(self.params, state, evs, valids)
+        depth, self._state, dropped = self._step(self.params, state, evs,
+                                                 valids)
 
         if not self.pipeline:
-            return self._fetch((depth, not single))
-        self._pending.append((depth, not single))
+            return self._fetch((depth, dropped, not single))
+        self._pending.append((depth, dropped, not single))
         if len(self._pending) > self.pipeline:
             return self._fetch(self._pending.popleft())
         return None

@@ -655,6 +655,9 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         "dropped_events": int(sum(b.dropped
                                   for sb in evaluator.stream_buffers
                                   for b in sb.values())),
+        # events the voxelizer rejected (out-of-window timestamps / FOV) —
+        # nonzero here usually means a mis-relativized event feed
+        "binned_out_events": int(evaluator.binning_dropped),
         "video": save_video if save_video and depths else None,
         "total_time_s": round(time.time() - t_prev, 3),
     }

@@ -120,10 +120,57 @@ def _write_video(frames, out_path: str, fps: int) -> None:
 
 def depth_video(depths: Sequence[np.ndarray], out_path: str,
                 fps: int = 20) -> None:
-    """Depth-map sequence → mp4 (reference ``mvsecShowDepth``,
-    ``datasets/MVSEC/utils.py:76-112`` — headless: writes the file instead
-    of an imshow loop; one stream instead of the L/R/raw mosaics)."""
+    """Depth-map sequence → mp4 (single-stream form of the reference's
+    ``mvsecShowDepth``, ``datasets/MVSEC/utils.py:76-112`` — headless:
+    writes the file instead of an imshow loop). For the reference's full
+    L/R/raw/blended mosaic use :func:`depth_mosaic_video`."""
     _write_video((_depth_to_rgb(d) for d in depths), out_path, fps)
+
+
+def _to_rgb_row(left: np.ndarray, right: np.ndarray, blended: bool) -> np.ndarray:
+    """One L|R mosaic row; blended frames are the dataset's own uint8 RGB
+    previews, depth frames go through the valid-pixel normalizer."""
+    if blended:
+        l3 = np.asarray(left, np.uint8)
+        r3 = np.asarray(right, np.uint8)
+        if l3.ndim == 2:
+            l3 = np.stack([l3] * 3, axis=-1)
+            r3 = np.stack([r3] * 3, axis=-1)
+    else:
+        l3, r3 = _depth_to_rgb(left), _depth_to_rgb(right)
+    return np.concatenate([l3, r3], axis=1)
+
+
+def blended_video(left_blended: Sequence[np.ndarray],
+                  right_blended: Sequence[np.ndarray],
+                  out_path: str, fps: int = 20) -> None:
+    """Side-by-side L|R video of the dataset's events-on-depth preview
+    images (reference ``mvsecShowBlended``, ``datasets/MVSEC/utils.py:
+    114-133`` — headless file output)."""
+    _write_video((_to_rgb_row(l, r, blended=True)
+                  for l, r in zip(left_blended, right_blended)),
+                 out_path, fps)
+
+
+def depth_mosaic_video(
+    rect_left: Sequence[np.ndarray], rect_right: Sequence[np.ndarray],
+    raw_left: Sequence[np.ndarray], raw_right: Sequence[np.ndarray],
+    blended_left: Sequence[np.ndarray], blended_right: Sequence[np.ndarray],
+    out_path: str, fps: int = 20,
+) -> None:
+    """The reference's full 3×2 dataset mosaic (``mvsecShowDepth``,
+    ``datasets/MVSEC/utils.py:76-112``): rectified L|R on top, raw L|R in
+    the middle, the dataset's blended previews at the bottom — headless
+    mp4 instead of the imshow loop."""
+    def frames():
+        for fr in zip(rect_left, rect_right, raw_left, raw_right,
+                      blended_left, blended_right):
+            rows = [_to_rgb_row(fr[0], fr[1], blended=False),
+                    _to_rgb_row(fr[2], fr[3], blended=False),
+                    _to_rgb_row(fr[4], fr[5], blended=True)]
+            yield np.concatenate(rows, axis=0)
+
+    _write_video(frames(), out_path, fps)
 
 
 def events_on_depth_frames(

@@ -451,3 +451,27 @@ def test_depth_to_rgb_scales_over_valid_pixels_only():
     assert rgb[1, 1, 0] == 0     # min valid maps to 0, not mid-band
     assert rgb[3, 3, 0] == 255
     assert _depth_to_rgb(np.full((2, 2), np.nan, np.float32)).max() == 0
+
+
+def test_blended_and_mosaic_videos(tmp_path):
+    """The reference's dataset preview mosaics (mvsecShowBlended +
+    mvsecShowDepth's L/R/raw/blended layout) render headlessly to mp4."""
+    from stereospike_tpu.viz import blended_video, depth_mosaic_video
+
+    rng = np.random.default_rng(0)
+    n, h, w = 4, 20, 28
+    depth = rng.uniform(1.0, 6.0, (n, h, w)).astype(np.float32)
+    depth[0, 0, 0] = np.nan
+    blended = rng.integers(0, 255, (n, h, w, 3)).astype(np.uint8)
+
+    p1 = str(tmp_path / "blended.mp4")
+    blended_video(blended, blended, p1)
+    assert os.path.getsize(p1) > 0
+
+    p2 = str(tmp_path / "mosaic.mp4")
+    depth_mosaic_video(depth, depth, depth, depth, blended, blended, p2)
+    assert os.path.getsize(p2) > 0
+
+    # grayscale blended previews are accepted too
+    blended_video(depth.astype(np.uint8), depth.astype(np.uint8),
+                  str(tmp_path / "gray.mp4"))

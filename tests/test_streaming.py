@@ -213,3 +213,27 @@ def test_ring_buffer_property_random_sequences():
                 oracle.clear()
                 assert len(buf) == 0
         assert buf.dropped == dropped, (cap, buf.dropped, dropped)
+
+
+def test_binning_window_drops_are_counted():
+    """Events whose (supposedly window-relative) timestamps land outside
+    [0, window) vanish into the voxelizer's dump bin; the evaluator must
+    surface them — a mis-relativized live feed would otherwise show clean
+    latencies and empty frames."""
+    cfg = stereospike_monocular(in_hw=HW, in_channels=2)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ev = StreamingEvaluator(params, cfg, eyes=("left",), block=256,
+                            window=0.05)
+
+    d = ev.push({"left": _events(100, HW, 0.0, 0.049)})
+    assert d.shape == (*HW, 1)
+    assert ev.binning_dropped == 0
+
+    # absolute (epoch-like) stamps: every event is out of window
+    d = ev.push({"left": _events(100, HW, 1.5e6, 1.5e6 + 0.05)})
+    assert ev.binning_dropped == 100
+
+    # half in, half out
+    ev.push({"left": np.concatenate([_events(50, HW, 0.0, 0.049),
+                                     _events(50, HW, 0.2, 0.25)])})
+    assert ev.binning_dropped == 150
