@@ -319,6 +319,208 @@ def polyphase_upsample_conv(
 
 
 
+# ---------------- polyphase with SELECTION-GEMM assembly (round 3):
+# the slice/pad segment assembly above replaced by two 0/1 selection
+# GEMMs per axis (pattern routing + slip fix-ups as extra GEMM rows).
+# MEASURED AND REJECTED TOO: selection GEMMs run ~30 TFLOP/s at these
+# shapes regardless of form, while XLA's composite convs run 100-190
+# TFLOP/s eating the 2.8x redundant MACs — fwd+bwd loses at every site
+# (see 'poly_gemm*' rows in deconv_attack.json).
+@functools.lru_cache(maxsize=None)
+def _poly_axis_plan(n: int, t: int, k: int):
+    """Per-axis plan for the polyphase decomposition of
+    upsample-to-(t+k-1)-then-valid-conv-k (≈2× nearest upsampling).
+
+    src(u) = floor(u·n/u_size) duplicates every source ~twice, so away from
+    the duplication "slips" the k-tap window over the upsampled axis
+    collapses to a (k//2+1)-tap window over the SOURCE axis following one
+    of TWO parity patterns: src(o+dy) = src(o) + (p+dy)//2 with a LOCAL
+    parity p (it flips at every slip — it is not o%2). Returns
+    ``(phase, base, good, bad)`` per output position; None if the axis is
+    not ~2× or k is even (caller falls back to the composite form).
+    """
+    u_size = t + k - 1
+    if u_size // n != 2 or k % 2 == 0:
+        return None
+    src = _nearest_indices(n, u_size)
+    phase = np.zeros(t, np.int64)
+    good = np.zeros(t, bool)
+    for o in range(t):
+        for p in range(2):
+            if all(src[o + dy] - src[o] == (p + dy) // 2 for dy in range(k)):
+                phase[o], good[o] = p, True
+                break
+    bad = tuple(int(o) for o in np.where(~good)[0])
+    return phase, src[:t].copy(), good, bad
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_bad_taps(n: int, t: int, k: int) -> np.ndarray:
+    """One-hot [n_bad, k, n]: source index per tap for each output
+    position whose k-tap window straddles a duplication slip."""
+    _, _, _, bad = _poly_axis_plan(n, t, k)
+    src = _nearest_indices(n, t + k - 1)
+    m = np.zeros((len(bad), k, n), np.float32)
+    for r, o in enumerate(bad):
+        for dy in range(k):
+            m[r, dy, src[o + dy]] = 1.0
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_sel_tables(n: int, t: int, k: int, parity: int):
+    """Selection tables routing the polyphase conv's pattern grids to the
+    output axis: ``(sel [2, T, n], bad [T, n_bad] | None)`` with
+    ``out[o] = Σ_p Σ_i sel[p, o', i]·pattern_p[i] + Σ_r bad[o', r]·fix[r]``.
+    ``parity`` −1 covers all t positions; 0/1 the even/odd subgrid (the
+    s2d-canonical output form)."""
+    phase, base, good, bad = _poly_axis_plan(n, t, k)
+    rows = range(t) if parity < 0 else range(parity, t, 2)
+    rows = list(rows)
+    sel = np.zeros((2, len(rows), n), np.float32)
+    hb = np.zeros((len(rows), max(len(bad), 1)), np.float32)
+    for r_i, o in enumerate(rows):
+        if good[o]:
+            sel[int(phase[o]), r_i, int(base[o])] = 1.0
+        else:
+            hb[r_i, bad.index(o)] = 1.0
+    return sel, (hb if bad else None)
+
+
+def _poly_pattern_kernel(w: Array, kt: int) -> Array:
+    """[kt, kt, ci, 4·co] pattern kernel: channel block (p·2+q) holds the
+    pairwise tap sums of ``w`` for H pattern p / W pattern q (accumulated
+    in fp32)."""
+    k, _, ci, co = w.shape
+    w32 = w.astype(jnp.float32)
+    kern = jnp.zeros((kt, kt, ci, 4 * co), jnp.float32)
+    for p in range(2):
+        for q in range(2):
+            for dy in range(k):
+                for dx in range(k):
+                    kern = kern.at[(p + dy) // 2, (q + dx) // 2, :,
+                                   (p * 2 + q) * co:(p * 2 + q + 1) * co
+                                   ].add(w32[dy, dx])
+    return kern
+
+
+def _poly_axis_collapse(w: Array, kt: int, axis: int) -> Array:
+    """[2, kt, k, ci, co]: ``w`` with ONE axis collapsed to its kt-tap
+    pattern sums (axis=0: H patterns, full W taps; axis=1: vice versa),
+    fp32-accumulated."""
+    k = w.shape[0]
+    w32 = w.astype(jnp.float32)
+    out = jnp.zeros((2, kt, k) + w.shape[2:], jnp.float32)
+    for p in range(2):
+        for d in range(k):
+            tap = w32[d] if axis == 0 else w32[:, d]  # [k, ci, co] either way
+            out = out.at[p, (p + d) // 2, :].add(tap)
+    return out
+
+
+def _upsample_conv_poly(x: Array, w: Array, b: Optional[Array],
+                        target_hw: Tuple[int, int], *,
+                        s2d_out: bool = False) -> Optional[Array]:
+    """conv_k(nearest_upsample(x, target+k-1)) via the polyphase
+    decomposition with SELECTION-GEMM assembly.
+
+    Reference semantics ``network/blocks.py:110-132`` (NNConvUpsampling).
+    Nearest ~2× upsampling duplicates every source pixel, so the composite
+    collapses to ONE low-res conv with four (k//2+1)² pattern kernels —
+    (k//2+1)²·4/k² ≈ 1.44× the kernel taps on ¼ the pixels ≈ 2.8× fewer
+    MACs and no up-res intermediate. Round 2 measured this form SLOWER
+    because the per-segment slice/pad/add assembly (and its backward)
+    dominated (ROADMAP §2a); here the assembly is two 0/1 selection GEMMs
+    per axis (pattern routing + slip fix-ups as extra GEMM rows), the same
+    machinery ``nearest_upsample`` already rides the MXU with. Bit-equal
+    to ``upsample_conv`` up to float reassociation (the pattern kernels
+    pre-sum w taps in fp32).
+
+    ``s2d_out=True`` emits [B, t_h/2, t_w/2, 4·co] with channel block
+    (a·2+b)·co — the s2d-canonical level-0 form. Returns None when either
+    axis is not ~2× (caller falls back to the composite path).
+    """
+    k = w.shape[0]
+    ci, co = w.shape[2], w.shape[3]
+    n_h, n_w = x.shape[1], x.shape[2]
+    t_h, t_w = target_hw
+    if (_poly_axis_plan(n_h, t_h, k) is None
+            or _poly_axis_plan(n_w, t_w, k) is None):
+        return None
+    if s2d_out and (t_h % 2 or t_w % 2):
+        return None
+    kt = k // 2 + 1
+    dt = x.dtype
+    _, _, _, bad_h = _poly_axis_plan(n_h, t_h, k)
+    _, _, _, bad_w = _poly_axis_plan(n_w, t_w, k)
+
+    # the polyphase conv: [B, n_h, n_w, 2, 2, co] pattern grids
+    kern = _poly_pattern_kernel(w, kt).astype(dt)
+    xp = jnp.pad(x, ((0, 0), (0, kt - 1), (0, kt - 1), (0, 0)))
+    c_all = conv2d(xp, kern, stride=1, padding=0)
+    c_all = c_all.reshape(c_all.shape[:3] + (2, 2, co))
+
+    # thin exact fix-ups for slip-straddling positions
+    zq = s_strip = zc = None
+    if bad_h:
+        row_sel = jnp.asarray(_poly_bad_taps(n_h, t_h, k), dt)
+        xr = jnp.einsum("rem,bmna->brena", row_sel, x)  # [B,r,k,n_w,ci]
+        xr_p = jnp.pad(xr, ((0, 0), (0, 0), (0, 0), (0, kt - 1), (0, 0)))
+        wq = _poly_axis_collapse(w, kt, axis=1).astype(dt)  # [q,v,e,ci,co]
+        zq = sum(
+            jnp.einsum("brena,qeaz->brnqz",
+                       jax.lax.slice_in_dim(xr_p, v, v + n_w, axis=3),
+                       wq[:, v])
+            for v in range(kt))                         # [B,r,n_w,2,co]
+    if bad_w:
+        col_sel = jnp.asarray(_poly_bad_taps(n_w, t_w, k), dt)
+        xc = jnp.einsum("sfn,bmna->bmsfa", col_sel, x)  # [B,n_h,s,k,ci]
+        xc_p = jnp.pad(xc, ((0, 0), (0, kt - 1), (0, 0), (0, 0), (0, 0)))
+        hp = _poly_axis_collapse(w, kt, axis=0).astype(dt)  # [p,u,f,ci,co]
+        s_strip = sum(
+            jnp.einsum("bmsfa,pfaz->bmspz",
+                       jax.lax.slice_in_dim(xc_p, u, u + n_h, axis=1),
+                       hp[:, u])
+            for u in range(kt))                         # [B,n_h,s,2,co]
+    if bad_h and bad_w:
+        xrc = jnp.einsum("sfn,brena->bresfa", col_sel, xr)
+        zc = jnp.einsum("bresfa,efaz->brsz", xrc, w.astype(dt))
+
+    def grid(par_h: int, par_w: int) -> Array:
+        h_sel, h_bad = _poly_sel_tables(n_h, t_h, k, par_h)
+        w_sel, w_bad = _poly_sel_tables(n_w, t_w, k, par_w)
+        h_sel = jnp.asarray(h_sel, dt)
+        w_sel = jnp.asarray(w_sel, dt)
+        y1 = (jnp.einsum("oi,bijqz->bojqz", h_sel[0], c_all[:, :, :, 0])
+              + jnp.einsum("oi,bijqz->bojqz", h_sel[1], c_all[:, :, :, 1]))
+        if bad_h:
+            y1 = y1 + jnp.einsum("or,brnqz->bonqz", jnp.asarray(h_bad, dt),
+                                 zq)
+        out = (jnp.einsum("uj,bojz->bouz", w_sel[0], y1[..., 0, :])
+               + jnp.einsum("uj,bojz->bouz", w_sel[1], y1[..., 1, :]))
+        if bad_w:
+            y1s = (jnp.einsum("oi,bisz->bosz", h_sel[0], s_strip[..., 0, :])
+                   + jnp.einsum("oi,bisz->bosz", h_sel[1],
+                                s_strip[..., 1, :]))
+            if bad_h:
+                y1s = y1s + jnp.einsum("or,brsz->bosz",
+                                       jnp.asarray(h_bad, dt), zc)
+            out = out + jnp.einsum("us,bosz->bouz", jnp.asarray(w_bad, dt),
+                                   y1s)
+        return out
+
+    if s2d_out:
+        out = jnp.concatenate([grid(0, 0), grid(0, 1), grid(1, 0),
+                               grid(1, 1)], axis=-1)
+    else:
+        out = grid(-1, -1)
+    if b is not None:
+        out = out + (jnp.tile(b, 4) if s2d_out else b)
+    return out
+
+
+
+
 def main():
     from stereospike_tpu.nn.layers import (
         _phase_conv_valid,
@@ -358,6 +560,15 @@ def main():
     record("poly_s2d",
            lambda x, w: polyphase_upsample_conv(x, w, target_hw=TGT,
                                                 s2d_out=True), x, w)
+
+    record("poly_gemm",
+           lambda x, w: _upsample_conv_poly(x, w, None, TGT), x, w)
+    record("poly_gemm_s2d",
+           lambda x, w: _upsample_conv_poly(x, w, None, TGT, s2d_out=True),
+           x, w)
+    from stereospike_tpu.nn.layers import upsample_conv_s2d_out
+    record("prod_s2d",
+           lambda x, w: upsample_conv_s2d_out(x, w, target_hw=TGT), x, w)
 
     def selgemm(x, w):
         z = jnp.einsum("bhwc,ijcd->bhwijd", x, w)        # [B,h,w,dy,dx,co]
