@@ -109,32 +109,43 @@ def forward_multistep(
     spike_enc = make_spike_fn(cfg.surrogate, cfg.surrogate_alpha)
     spike_sew = make_spike_fn(cfg.sew_surrogate, cfg.sew_surrogate_alpha)
 
+    def step_slice(a: Array, t: int) -> Array:
+        """Step t's [B, ...] slab of a T-major [T·B, ...] tensor.
+
+        A leading-axis slice (never a [T, B, ...] reshape): XLA assigns the
+        5-D reshape/stack forms their own layouts — measured on the v5e, it
+        picked B-in-lanes layouts with up to 4.9× pad expansion and inserted
+        physical copies around every neuron site, which both blew the HBM
+        budget (T=5 B=26 OOM'd at 16.1 G) and serialized the recurrence on
+        copy traffic. Slices of the conv's own [T·B, h, w, c] layout are
+        layout-preserving, so none of that exists."""
+        return jax.lax.slice_in_dim(a, t * B, (t + 1) * B, axis=0)
+
     def fire_unrolled(site: str, x_tb: Array) -> Array:
         """Statically unrolled T-step recurrence in the conv's own layout.
 
-        [T·B, h, w, c] → [T, B, h, w, c] is a leading-axis split (no
-        physical relayout), each x5[t] slice is free, and every step's
-        charge→fire→reset is a fusable elementwise chain — XLA folds them
-        into the surrounding conv fusions, so the recurrence adds no HBM
-        round-trips. Reuses the exact snn.neurons cell semantics."""
+        Each step's charge→fire→reset is a fusable elementwise chain over a
+        leading-axis slice of [T·B, h, w, c]; XLA folds the chain into the
+        surrounding conv fusions. Reuses the exact snn.neurons cell
+        semantics."""
         in_sew = site.startswith("sew")
         kind = cfg.effective_sew_neuron if in_sew else cfg.neuron
         kw = dict(v_threshold=cfg.v_threshold, v_reset=cfg.v_reset,
                   spike_fn=spike_sew if in_sew else spike_enc,
                   detach_reset=cfg.detach_reset)
-        x5 = x_tb.reshape((T, B) + x_tb.shape[1:])
         v = state[site].astype(x_tb.dtype)
         outs = []
         for t in range(T):
+            x_t = step_slice(x_tb, t)
             if kind == "if":
-                v, s_t = if_step(v, x5[t], **kw)
+                v, s_t = if_step(v, x_t, **kw)
             elif kind == "lif":
-                v, s_t = lif_step(v, x5[t], tau=cfg.tau, **kw)
+                v, s_t = lif_step(v, x_t, tau=cfg.tau, **kw)
             else:
-                v, s_t = plif_step(v, x5[t], params["plif"][site], **kw)
+                v, s_t = plif_step(v, x_t, params["plif"][site], **kw)
             outs.append(s_t)
         new_state[site] = v
-        return jnp.stack(outs).reshape(x_tb.shape)
+        return outs[0] if T == 1 else jnp.concatenate(outs, axis=0)
 
     def fire_pallas(site: str, x_tb: Array) -> Array:
         """One fused VMEM kernel over the whole T-step recurrence
@@ -197,7 +208,7 @@ def forward_multistep(
 
     skips = (out_bottom, out_conv1, out_conv2, out_conv3)
     charges: Dict[int, Array] = {}
-    spikes_last = [out_rconv.reshape((T, B) + out_rconv.shape[1:])[-1]]
+    spikes_last = [step_slice(out_rconv, T - 1)]
 
     xdec = out_rconv
     for scale in (4, 3, 2, 1):
@@ -212,7 +223,7 @@ def forward_multistep(
                 static_scale=ms, phase=cfg.phase_upsample))
         if cfg.use_skips:
             xdec = xdec + skips[scale - 1]
-        last = xdec.reshape((T, B) + xdec.shape[1:])[-1]
+        last = step_slice(xdec, T - 1)
         spikes_last.append(depth_to_space(last)
                            if scale == 1 and use_s2d else last)
         if scale in cfg.heads:
@@ -223,7 +234,7 @@ def forward_multistep(
             else:
                 ch = upsample_conv_scale(xdec, params[f"pred{scale}"],
                                          target_hw=sizes[0], static_scale=ms)
-            charges[scale] = ch.reshape((T, B) + ch.shape[1:])
+            charges[scale] = ch  # [T·B, H, W, 1], T-major
 
     # depth-integrator pool: within step t heads charge in order 4→1, and
     # the potential carries across steps. Last-step depth_k therefore is
@@ -233,11 +244,12 @@ def forward_multistep(
     prefix = v0_depth
     if T > 1:
         prefix = prefix + sum(
-            jnp.sum(charges[s][: T - 1], axis=0) for s in head_order)
+            step_slice(charges[s], t)
+            for s in head_order for t in range(T - 1))
     depths_by_scale: Dict[int, Array] = {}
     running = prefix
     for s in head_order:
-        running = running + charges[s][T - 1]
+        running = running + step_slice(charges[s], T - 1)
         depths_by_scale[s] = running
     new_state["Ineurons"] = running
 
