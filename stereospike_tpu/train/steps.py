@@ -128,8 +128,10 @@ def make_train_step(
 ) -> Callable[[TrainState, Dict], tuple]:
     """Build ``step(state, batch) -> (state, metrics)``.
 
-    ``multistep=True`` uses the layer-major T-step forward with fused Pallas
-    neuron kernels (models/multistep.py) — the fast path for T > 1.
+    ``multistep=True`` uses the layer-major T-step forward
+    (models/multistep.py: convs batch over B·T, neuron recurrences run
+    statically unrolled in the conv's own layout) — the measured fast path
+    for T > 1 (~1.4× the step-major scan).
     ``grad_psum_axis``: inside ``shard_map``, the loss/MDE are computed with
     globally-psum'd sufficient statistics (exactly the single-device math)
     and the gradients are psum'd — the hand-written collective equivalent of
