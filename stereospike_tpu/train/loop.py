@@ -385,18 +385,30 @@ def train_loop(
     done = False
     summary: Dict = {}
 
+    steps_done = int(state.step)  # host-side mirror of state.step
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
-        train_loss = train_mde = n_steps = 0
+        # metrics stay ON DEVICE during the epoch: jax dispatch is async, so
+        # a per-step float() would block the host on a D2H fetch every step
+        # (≈2×RTT through this environment's device tunnel — more than the
+        # step's compute) and serialize prep(k+1) behind step k. Deferring
+        # the fetch lets the host prep/upload the next batch while the chip
+        # runs the current step; one stack+sum at epoch end fetches all.
+        step_metrics = []
         for batch in _batch_iter(cfg, train_view, shuffle=True,
                                  seed=cfg.seed + epoch):
             state, metrics = train_step(state, prep(batch))
-            train_loss += float(metrics["loss"])
-            train_mde += float(metrics["mde"])
-            n_steps += 1
-            if max_steps is not None and int(state.step) >= max_steps:
+            step_metrics.append((metrics["loss"], metrics["mde"]))
+            steps_done += 1
+            if max_steps is not None and steps_done >= max_steps:
                 done = True
                 break
+        n_steps = len(step_metrics)
+        if n_steps:
+            acc = jnp.sum(jnp.asarray(step_metrics, jnp.float32), axis=0)
+            train_loss, train_mde = float(acc[0]), float(acc[1])
+        else:
+            train_loss = train_mde = 0.0
         train_time = time.time() - t0
 
         # validation (reference train.py:275-335). eval_step returns
@@ -404,15 +416,18 @@ def train_loop(
         # the epoch statistics exactly the reference's per-sample math even
         # with batch_size > 1 and a short final batch (drop_last=False).
         t0 = time.time()
-        val_loss = val_mde = n_val = n_val_batches = 0
+        n_val = n_val_batches = 0
+        # same async pattern as training: keep only the per-batch scalar
+        # means on device (weighted by sample count — NOT the big depth
+        # maps, which would pin HBM) and fetch once after the loop
+        val_stats = []
         fr_scalars: Dict[str, float] = {}
         for batch in _batch_iter(cfg, val_view, drop_last=False):
             bsz = batch["gt"].shape[0]
             use_mesh = eval_divisible(bsz)
             step = eval_step_sharded if use_mesh else eval_step_local
             out = step(state.params, prep(batch, train=False, shard=use_mesh))
-            val_loss += float(out["loss"]) * bsz
-            val_mde += float(out["mde"]) * bsz
+            val_stats.append((out["loss"] * bsz, out["mde"] * bsz))
             if n_val_batches == 0 and cfg.save_viz:
                 _save_viz_panel(
                     os.path.join(_viz_dir(cfg), f"epoch_{epoch:04d}.png"),
@@ -425,6 +440,11 @@ def train_loop(
                               for k, v in zip(TAP_NAMES, rates)}
             n_val += bsz
             n_val_batches += 1
+        if val_stats:
+            acc = jnp.sum(jnp.asarray(val_stats, jnp.float32), axis=0)
+            val_loss, val_mde = float(acc[0]), float(acc[1])
+        else:
+            val_loss = val_mde = 0.0
         val_time = time.time() - t0
 
         state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
@@ -433,12 +453,12 @@ def train_loop(
             "train_MDE": train_mde / max(n_steps, 1),
             "val_loss": val_loss / max(n_val, 1),
             "val_MDE": val_mde / max(n_val, 1),
-            "lr": float(sched(int(state.step))),
+            "lr": float(sched(steps_done)),
             "train_time_s": train_time,
             "val_time_s": val_time,
             **fr_scalars,
         }
-        logger.log(scalars, step=int(state.step), epoch=epoch)
+        logger.log(scalars, step=steps_done, epoch=epoch)
         logger.text(
             f"epoch {epoch}: train loss {scalars['train_loss']:.4f} "
             f"MDE {scalars['train_MDE']:.4f} | val loss {scalars['val_loss']:.4f} "
@@ -482,21 +502,25 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
     # eval_step returns per-sample means; weight by the batch's sample count
     # so batch_size>1 + drop_last=False reproduce the reference's per-sample
     # accumulation (test.py:157-173) exactly
-    tot_loss = tot_mde = n_samples = n = 0
+    n_samples = n = 0
+    # async accumulation (see train_loop): per-batch weighted scalar means
+    # stay on device; one fetch at the end instead of a D2H sync per batch
+    stats = []
     for batch in _batch_iter(cfg, test_view, drop_last=False):
         b = {k: jnp.asarray(batch[k]) for k in ("chunks", "gt", "mask")}
         bsz = batch["gt"].shape[0]
         out = eval_step(params, b)
-        tot_loss += float(out["loss"]) * bsz
-        tot_mde += float(out["mde"]) * bsz
+        stats.append((out["loss"] * bsz, out["mde"] * bsz))
         if cfg.save_viz and n % cfg.save_viz == 0:
             _save_viz_panel(
                 os.path.join(_viz_dir(cfg), f"test_{n:05d}.png"),
                 batch, out["depth"], title=f"test batch {n}")
         n_samples += bsz
         n += 1
-    results = {"test_loss": tot_loss / max(n_samples, 1),
-               "test_MDE": tot_mde / max(n_samples, 1),
+    tot = (np.asarray(jnp.sum(jnp.asarray(stats, jnp.float32), axis=0))
+           if stats else np.zeros(2))
+    results = {"test_loss": float(tot[0]) / max(n_samples, 1),
+               "test_MDE": float(tot[1]) / max(n_samples, 1),
                "n_batches": n, "n_samples": n_samples}
     logger = MetricsLogger(cfg.checkpoint_dir, name="test")
     logger.log(results)
@@ -554,91 +578,95 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 events_dir: Optional[str] = None, n_windows: int = 20,
                 pipeline: int = 1, events_per_window: int = 20000,
                 save_video: Optional[str] = None, aer_format: str = "TXYP",
+                listen: Optional[str] = None, source=None,
+                reply: bool = False,
                 which: str = "best.msgpack") -> Dict:
     """Streaming-serving driver: feed event windows through the
     :class:`~stereospike_tpu.streaming.StreamingEvaluator` (the low-latency
     B=1 mode the reference's dataset-replay eval never had).
 
-    Sources: ``synthetic`` random windows, or ``events_dir`` — a
-    DENSE-format ``events/data/*.npy`` directory (TXYP, one file per
-    window; monocular). Writes per-window latencies to JSONL and optionally
-    a depth-map mp4.
+    Sources (:mod:`stereospike_tpu.sources`): ``synthetic`` random windows;
+    ``events_dir`` — a DENSE-format ``events/data/*.npy`` directory (TXYP,
+    one file per window; monocular); ``listen`` — ``"host:port"`` (or just
+    ``"port"``) to accept a live SPKE-protocol TCP event feed; or an
+    explicit ``source`` iterable of per-eye window dicts. Writes per-window
+    latencies to JSONL and optionally a depth-map mp4.
     """
     if is_ann_model(cfg.model):
         raise ValueError("streaming serves the stateful SNN models")
+    import itertools
+
+    from stereospike_tpu import sources as src
     from stereospike_tpu.streaming import StreamingEvaluator
 
     model_cfg = build_model_config(cfg)
     binocular = cfg.model != "stereospike_monocular"
     params = _load_params(cfg, model_cfg, which)
 
-    h, w = cfg.in_hw
     eyes = ("left", "right") if binocular else ("left",)
 
-    def synthetic_window(seed: int):
-        r = np.random.default_rng(seed)
-        n = events_per_window
-        return {eye: np.stack([
-            r.integers(0, w, n).astype(np.float32),
-            r.integers(0, h, n).astype(np.float32),
-            np.sort(r.uniform(0, 0.05, n)).astype(np.float32),
-            r.choice([0.0, 1.0], n).astype(np.float32)], axis=1)
-            for eye in eyes}
-
     window_s = 0.05  # the MVSEC 20 Hz cadence (utils.py:6-11)
-    if events_dir is not None:
-        from stereospike_tpu.data.dense import aer_to_xytp
-
-        files = sorted(f for f in os.listdir(events_dir) if f.endswith(".npy"))
+    if source is not None:
+        window_s = float(getattr(source, "window_s", window_s))
+    elif listen is not None:
+        host, _, port = listen.rpartition(":")
+        source = src.SocketSource(host or "127.0.0.1", int(port),
+                                  eyes=eyes, window_s=window_s)
+        if n_windows:
+            source = itertools.islice(iter(source), n_windows)
+    elif events_dir is not None:
         if binocular:
             raise ValueError("events_dir is a monocular (DENSE-format) "
                              "source; use model=stereospike_monocular")
         # the evaluator's bin grid is window/nfpdm, baked into its jitted
-        # step — derive the window from the MAX time span across the files
-        # being served (DENSE runs at 30 fps ≈ 33 ms, not the MVSEC 50 ms,
-        # and inter-depth spans are not exactly constant: sizing from only
-        # the first file would silently mask out the tail events of any
-        # longer window in the voxelizer's f < n_frames dump bin). The tiny
-        # headroom keeps the last event inside the final bin under
-        # floor(t/dt) binning.
-        served = files[:n_windows]
-        spans = []
-        for f in served:
-            ev = aer_to_xytp(np.load(os.path.join(events_dir, f)), aer_format)
-            spans.append(float(ev[-1, 2]) - float(ev[0, 2]))
-        window_s = max(max(spans), 1e-6) * (1 + 1e-6)
-
-        def windows():
-            for f in served:
-                ev = aer_to_xytp(np.load(os.path.join(events_dir, f)),
-                                 aer_format).astype(np.float64)
-                ev[:, 2] -= ev[0, 2]
-                yield {"left": ev.astype(np.float32)}
+        # step — ReplayDirSource derives the window from the MAX time span
+        # across the served files (DENSE cadence is not exactly constant;
+        # sizing from only the first file would silently mask out the tail
+        # events of any longer window in the voxelizer's dump bin)
+        source = src.ReplayDirSource(events_dir, aer_format=aer_format,
+                                     n_windows=n_windows)
+        window_s = source.window_s
     else:
         if not synthetic:
-            raise ValueError("need --synthetic or an events_dir source")
-
-        def windows():
-            for i in range(n_windows):
-                yield synthetic_window(cfg.seed + i)
+            raise ValueError(
+                "need --synthetic, an events_dir, or a --listen source")
+        source = src.SyntheticSource(
+            hw=tuple(cfg.in_hw), eyes=eyes, n_windows=n_windows,
+            events_per_window=events_per_window, window_s=window_s,
+            seed=cfg.seed)
 
     evaluator = StreamingEvaluator(
         params, model_cfg, eyes=eyes, nfpdm=cfg.nfpdm, window=window_s,
-        reset_each_window=False, pipeline=pipeline)
+        reset_each_window=False, pipeline=pipeline,
+        compute_dtype=_compute_dtype(cfg))
+
+    # ``reply``: send each depth map back to a connected SPKE producer
+    # (sources.SocketSource.reply / recv_depth) — events in, depths out
+    # over one connection. With pipelining the replies lag by `pipeline`.
+    can_reply = reply and hasattr(source, "reply")
+    if reply and not can_reply:
+        raise ValueError("--reply needs a --listen (socket) source")
 
     lat, depths = [], []
     t_prev = time.time()
-    for win in windows():
+    for win in source:
         t0 = time.time()
         d = evaluator.push(win)
         lat.append(time.time() - t0)
         if d is not None:
             depths.append(d)
+            if can_reply:
+                source.reply(d)
     while True:
         d = evaluator.flush()
         if d is None:
             break
         depths.append(d)
+        if can_reply:
+            try:
+                source.reply(d)
+            except (OSError, RuntimeError):
+                break  # producer already disconnected; tail replies drop
     lat_ms = np.asarray(lat[1:] or lat) * 1e3  # drop the compile window
 
     if save_video and depths:
@@ -658,6 +686,8 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         # events the voxelizer rejected (out-of-window timestamps / FOV) —
         # nonzero here usually means a mis-relativized event feed
         "binned_out_events": int(evaluator.binning_dropped),
+        # SocketSource: events that arrived after their window was emitted
+        "late_events": int(getattr(source, "late_dropped", 0)),
         "video": save_video if save_video and depths else None,
         "total_time_s": round(time.time() - t_prev, 3),
     }
@@ -720,30 +750,37 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
 
     done = False
     summary: Dict = {}
+    steps_done = int(state.step)
     for epoch in range(int(state.epoch), cfg.epochs):
-        train_loss = train_mde = n_steps = 0
+        # async accumulation (see train_loop): metrics stay on device during
+        # the epoch; a per-step float() would D2H-sync every step
+        step_metrics = []
         for batch in _batch_iter(cfg, train_view, shuffle=True,
                                  seed=cfg.seed + epoch):
             state, metrics = train_step(state, prep(batch))
-            train_loss += float(metrics["loss"])
-            train_mde += float(metrics["mde"])
-            n_steps += 1
-            if max_steps is not None and int(state.step) >= max_steps:
+            step_metrics.append((metrics["loss"], metrics["mde"]))
+            steps_done += 1
+            if max_steps is not None and steps_done >= max_steps:
                 done = True
                 break
-        val_loss = val_mde = n_val = 0
+        n_steps = len(step_metrics)
+        tr = (np.asarray(jnp.sum(jnp.asarray(step_metrics, jnp.float32),
+                                 axis=0)) if step_metrics else np.zeros(2))
+        val_stats = []
+        n_val = 0
         for batch in _batch_iter(cfg, val_view, drop_last=False):
             bsz = batch["gt"].shape[0]
             out = eval_step(state.params, state.bn_state, prep(batch, False))
-            val_loss += float(out["loss"]) * bsz
-            val_mde += float(out["mde"]) * bsz
+            val_stats.append((out["loss"] * bsz, out["mde"] * bsz))
             n_val += bsz
+        va = (np.asarray(jnp.sum(jnp.asarray(val_stats, jnp.float32),
+                                 axis=0)) if val_stats else np.zeros(2))
         state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
-        scalars = {"train_loss": train_loss / max(n_steps, 1),
-                   "train_MDE": train_mde / max(n_steps, 1),
-                   "val_loss": val_loss / max(n_val, 1),
-                   "val_MDE": val_mde / max(n_val, 1)}
-        logger.log(scalars, step=int(state.step), epoch=epoch)
+        scalars = {"train_loss": float(tr[0]) / max(n_steps, 1),
+                   "train_MDE": float(tr[1]) / max(n_steps, 1),
+                   "val_loss": float(va[0]) / max(n_val, 1),
+                   "val_MDE": float(va[1]) / max(n_val, 1)}
+        logger.log(scalars, step=steps_done, epoch=epoch)
         is_best = n_val > 0 and scalars["val_MDE"] < float(state.best_metric)
         if is_best:
             state = state._replace(
@@ -785,21 +822,23 @@ def _ann_eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
 
     eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
                                            learn_on=cfg.learn_on))
-    tot_loss = tot_mde = n_samples = n = 0
+    n_samples = n = 0
+    stats = []  # async accumulation, see eval_loop
     for batch in _batch_iter(cfg, test_view, drop_last=False):
         b = {k: jnp.asarray(batch[k]) for k in ("chunks", "gt", "mask")}
         bsz = batch["gt"].shape[0]
         out = eval_step(params, bn_state, b)
-        tot_loss += float(out["loss"]) * bsz
-        tot_mde += float(out["mde"]) * bsz
+        stats.append((out["loss"] * bsz, out["mde"] * bsz))
         if cfg.save_viz and n % cfg.save_viz == 0:
             _save_viz_panel(
                 os.path.join(_viz_dir(cfg), f"test_{n:05d}.png"),
                 batch, out["depth"], title=f"test batch {n}")
         n_samples += bsz
         n += 1
-    results = {"test_loss": tot_loss / max(n_samples, 1),
-               "test_MDE": tot_mde / max(n_samples, 1),
+    tot = (np.asarray(jnp.sum(jnp.asarray(stats, jnp.float32), axis=0))
+           if stats else np.zeros(2))
+    results = {"test_loss": float(tot[0]) / max(n_samples, 1),
+               "test_MDE": float(tot[1]) / max(n_samples, 1),
                "n_batches": n, "n_samples": n_samples}
     logger = MetricsLogger(cfg.checkpoint_dir, name="test")
     logger.log(results)
