@@ -117,6 +117,13 @@ def main(argv=None) -> int:
             p.add_argument("--aer-format", type=str, default="TXYP",
                            choices=("TXYP", "XYTP"),
                            help="column order of the events-dir .npy files")
+            p.add_argument("--listen", type=str, default=None,
+                           help="accept a live SPKE-protocol TCP event feed "
+                                "on host:port (or just a port); see "
+                                "stereospike_tpu.sources")
+            p.add_argument("--reply", action="store_true",
+                           help="send depth maps back to the --listen "
+                                "producer over the same connection")
         _add_config_flags(p)
 
     args = parser.parse_args(argv)
@@ -204,7 +211,8 @@ def main(argv=None) -> int:
         print(json.dumps(stream_loop(
             cfg, synthetic=args.synthetic, events_dir=args.events_dir,
             n_windows=args.n_windows, pipeline=args.pipeline,
-            save_video=args.save_video, aer_format=args.aer_format)))
+            save_video=args.save_video, aer_format=args.aer_format,
+            listen=args.listen, reply=args.reply)))
     return 0
 
 

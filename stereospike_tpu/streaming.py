@@ -126,6 +126,7 @@ class StreamingEvaluator:
         buffer_capacity: int = 1 << 20,
         pipeline: int = 0,
         n_streams: int = 1,
+        compute_dtype=None,
     ):
         if len(eyes) * nfpdm * 2 != cfg.in_channels:
             raise ValueError(
@@ -134,6 +135,19 @@ class StreamingEvaluator:
                 f"{cfg.in_channels}")
         # serving is forward-only: run the inference execution profile
         self.cfg = cfg.for_inference()
+        # ``compute_dtype=jnp.bfloat16`` halves the serving HBM working set
+        # and runs the convs at MXU bf16 rate; the float32 master params are
+        # cast ONCE here, not per window. Depths return as float32 either
+        # way. None (default) serves at the params' own precision.
+        self._compute_dtype = compute_dtype
+        # membrane carries must live in the compute dtype: a float32 state
+        # would promote the spike chain back to f32 and break conv dtype
+        # agreement
+        self._state_dtype = compute_dtype or jnp.float32
+        if compute_dtype is not None:
+            params = jax.tree.map(
+                lambda x: x.astype(compute_dtype)
+                if x.dtype == jnp.float32 else x, params)
         self.params = params
         self.eyes = eyes
         self.nfpdm = nfpdm
@@ -163,7 +177,7 @@ class StreamingEvaluator:
             if maps and e in maps else None
             for e in eyes
         }
-        self._state = init_state(cfg, self.n_streams)
+        self._state = init_state(cfg, self.n_streams, self._state_dtype)
         h, w = cfg.in_hw
         dt = window / nfpdm
 
@@ -200,13 +214,16 @@ class StreamingEvaluator:
                     frames.append(fr)
                 dropped = dropped + jnp.sum(dr)
             frame = jnp.concatenate(frames, axis=-1)  # [S, H, W, C]
+            if self._compute_dtype is not None:
+                frame = frame.astype(self._compute_dtype)
             depths, _, new_state = forward(params, frame, self.cfg, state)
-            return depths[0], new_state, dropped
+            return depths[0].astype(jnp.float32), new_state, dropped
 
         self._step = jax.jit(step)
 
     def reset(self) -> None:
-        self._state = init_state(self.cfg, self.n_streams)
+        self._state = init_state(self.cfg, self.n_streams,
+                                 self._state_dtype)
         self._pending.clear()
 
     def _pad(self, ev: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -279,7 +296,7 @@ class StreamingEvaluator:
                 per_stream_valid.append(valid)
             evs[e] = jnp.asarray(np.stack(per_stream_ev))       # [S, block, 4]
             valids[e] = jnp.asarray(np.stack(per_stream_valid))  # [S, block]
-        state = (init_state(self.cfg, self.n_streams)
+        state = (init_state(self.cfg, self.n_streams, self._state_dtype)
                  if self.reset_each_window else self._state)
         depth, self._state, dropped = self._step(self.params, state, evs,
                                                  valids)

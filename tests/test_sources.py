@@ -1,0 +1,303 @@
+"""Live event sources: window assembly semantics, the SPKE socket protocol
+over loopback, directory replay, and the stream_loop --listen integration."""
+
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from stereospike_tpu.sources import (
+    PACKET_HEADER,
+    PACKET_MAGIC,
+    ReplayDirSource,
+    SocketSource,
+    SyntheticSource,
+    _WindowAssembler,
+    send_events,
+)
+
+HW = (32, 44)
+
+
+def _ev(ts, x=1.0, y=2.0, p=1.0):
+    # float64 rows: epoch-magnitude float32 stamps would lose ~1e-6 s
+    # before ever reaching the assembler (the wire format avoids exactly
+    # this with a float64 t_base + float32 offsets)
+    ts = np.asarray(ts, np.float64)
+    out = np.zeros((ts.size, 4), np.float64)
+    out[:, 0], out[:, 1], out[:, 3] = x, y, p
+    out[:, 2] = ts
+    return out
+
+
+# ------------------------------------------------------------ assembler
+
+def test_assembler_slices_windows_by_timestamp():
+    asm = _WindowAssembler(("left",), window_s=0.05)
+    # epoch-style absolute stamps: t0 locks to the first event
+    asm.add("left", _ev([100.00, 100.01, 100.04, 100.06, 100.07]))
+    assert asm.ready()
+    w = asm.emit()
+    np.testing.assert_allclose(w["left"][:, 2], [0.0, 0.01, 0.04], atol=1e-6)
+    # the remainder starts the next window, relativized to its OWN t0
+    assert not asm.ready()  # no event at/past 100.10 yet
+    asm.add("left", _ev([100.11]))
+    assert asm.ready()
+    w2 = asm.emit()
+    np.testing.assert_allclose(w2["left"][:, 2], [0.01, 0.02], atol=1e-6)
+
+
+def test_assembler_binocular_waits_for_both_eyes():
+    asm = _WindowAssembler(("left", "right"), window_s=0.05)
+    asm.add("left", _ev([0.0, 0.06]))
+    assert not asm.ready()  # right eye hasn't crossed the boundary
+    asm.add("right", _ev([0.01, 0.055]))
+    assert asm.ready()
+    w = asm.emit()
+    assert w["left"].shape[0] == 1 and w["right"].shape[0] == 1
+
+
+def test_assembler_counts_late_events():
+    asm = _WindowAssembler(("left",), window_s=0.05)
+    asm.add("left", _ev([0.0, 0.06]))
+    asm.emit()
+    asm.add("left", _ev([0.01, 0.02]))  # for the already-emitted window
+    assert asm.late_dropped == 2
+    # a mixed packet drops only its late rows
+    asm.add("left", _ev([0.03, 0.07]))
+    assert asm.late_dropped == 3
+
+
+def test_assembler_flush_emits_partial_tail():
+    asm = _WindowAssembler(("left",), window_s=0.05)
+    asm.add("left", _ev([0.0, 0.01]))
+    assert not asm.ready()
+    tail = asm.flush()
+    np.testing.assert_allclose(tail["left"][:, 2], [0.0, 0.01], atol=1e-6)
+    assert asm.flush() is None
+
+
+def test_assembler_empty_eye_yields_zero_rows():
+    asm = _WindowAssembler(("left", "right"), window_s=0.05)
+    asm.add("left", _ev([0.0, 0.06]))
+    asm.add("right", _ev([0.07]))  # right's first event is past the window
+    assert asm.ready()
+    w = asm.emit()
+    assert w["right"].shape == (0, 4)
+
+
+# ---------------------------------------------------------- socket source
+
+def _serve_packets(port_holder, packets, eyes=("left",)):
+    """Producer thread: connect and send (eye_idx, events) packets."""
+    def run():
+        with socket.create_connection(("127.0.0.1", port_holder[0])) as s:
+            for eye, ev in packets:
+                send_events(s, eye, ev)
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
+def _make_source(eyes=("left",), window_s=0.05):
+    srv = socket.create_server(("127.0.0.1", 0))
+    src = SocketSource(eyes=eyes, window_s=window_s, timeout=20.0,
+                       _listen_sock=srv)
+    return src, srv.getsockname()[1]
+
+
+def test_socket_source_end_to_end_loopback():
+    src, port = _make_source()
+    t = _serve_packets([port], [
+        (0, _ev([0.00, 0.01])),
+        (0, _ev([0.04, 0.06])),       # completes window 0
+        (0, _ev([0.08, 0.12])),       # completes window 1
+    ])
+    wins = list(src)
+    t.join(timeout=10)
+    # two full windows + the flushed tail ([0.12])
+    assert len(wins) == 3
+    np.testing.assert_allclose(wins[0]["left"][:, 2], [0.0, 0.01, 0.04],
+                               atol=1e-6)
+    np.testing.assert_allclose(wins[1]["left"][:, 2], [0.01, 0.03],
+                               atol=1e-6)
+    assert wins[2]["left"].shape[0] == 1
+
+
+def test_socket_source_binocular_interleaved():
+    src, port = _make_source(eyes=("left", "right"))
+    t = _serve_packets([port], [
+        (0, _ev([0.00, 0.02])),
+        (1, _ev([0.01, 0.03])),
+        (0, _ev([0.06])),
+        (1, _ev([0.07])),
+    ])
+    wins = list(src)
+    t.join(timeout=10)
+    assert len(wins) == 2  # one full window + flushed tail
+    assert wins[0]["left"].shape[0] == 2 and wins[0]["right"].shape[0] == 2
+
+
+def test_socket_source_rejects_garbage():
+    src, port = _make_source()
+
+    def run():
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            s.sendall(b"GET / HTTP/1.1\r\n\r\n" * 4)
+    threading.Thread(target=run, daemon=True).start()
+    with pytest.raises(ValueError, match="SPKE"):
+        list(src)
+
+
+def test_send_events_validates_shape():
+    with pytest.raises(ValueError, match=r"\[N, 4\]"):
+        send_events(None, 0, np.zeros((3, 3), np.float32))
+
+
+def test_packet_header_layout_is_frozen():
+    # wire-format regression pin: header is exactly 20 bytes LE
+    assert PACKET_HEADER.size == 20
+    assert PACKET_HEADER.pack(PACKET_MAGIC, 1, 0, 7, 0.0)[:4] == b"EKPS"
+
+
+# ---------------------------------------------------- replay + synthetic
+
+def test_replay_dir_source_matches_fixture(tmp_path):
+    from stereospike_tpu.data.fixtures import make_dense_fixture
+
+    make_dense_fixture(str(tmp_path), hw=HW, n_maps=6, seed=0)
+    events_dir = str(tmp_path / "events" / "data")
+    src = ReplayDirSource(events_dir, n_windows=4)
+    wins = list(src)
+    assert len(wins) == 4
+    for w in wins:
+        ev = w["left"]
+        assert ev.dtype == np.float32 and ev.shape[1] == 4
+        assert float(ev[0, 2]) == 0.0  # relativized
+        assert float(ev[-1, 2]) < src.window_s  # max-span sizing holds
+
+
+def test_synthetic_source_shapes():
+    src = SyntheticSource(hw=HW, eyes=("left", "right"), n_windows=3,
+                          events_per_window=128, seed=1)
+    wins = list(src)
+    assert len(wins) == 3
+    for w in wins:
+        assert set(w) == {"left", "right"}
+        assert w["left"].shape == (128, 4)
+        assert w["left"][:, 0].max() < HW[1]  # x < W
+        assert w["left"][:, 1].max() < HW[0]  # y < H
+
+
+# ------------------------------------------------------- driver wiring
+
+def test_stream_loop_listen_serves_live_feed(tmp_path):
+    """Full integration: TCP producer -> SocketSource -> StreamingEvaluator
+    through the stream_loop driver (the CLI --listen path)."""
+    from stereospike_tpu.sources import SocketSource as SS
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import stream_loop
+
+    cfg = TrainConfig(model="stereospike_monocular", in_hw=HW,
+                      checkpoint_dir=str(tmp_path), multiply_factor=10.0)
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    source = SS(eyes=("left",), window_s=0.05, timeout=20.0,
+                _listen_sock=srv)
+
+    def producer():
+        rng = np.random.default_rng(0)
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            for i in range(3):
+                n = 200
+                ev = np.stack([
+                    rng.integers(0, HW[1], n).astype(np.float32),
+                    rng.integers(0, HW[0], n).astype(np.float32),
+                    np.sort(rng.uniform(i * 0.05, (i + 1) * 0.05, n))
+                        .astype(np.float32),
+                    rng.choice([0.0, 1.0], n).astype(np.float32)], axis=1)
+                send_events(s, 0, ev)
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    out = stream_loop(cfg, source=source, pipeline=0)
+    t.join(timeout=10)
+    assert out["n_windows"] == 3  # 2 full + flushed tail
+    assert out["late_events"] == 0
+    assert out["binned_out_events"] == 0
+
+
+def test_depth_reply_roundtrip(tmp_path):
+    """--reply mode: producer sends events AND reads depth maps back."""
+    from stereospike_tpu.sources import SocketSource as SS
+    from stereospike_tpu.sources import recv_depth
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import stream_loop
+
+    cfg = TrainConfig(model="stereospike_monocular", in_hw=HW,
+                      checkpoint_dir=str(tmp_path), multiply_factor=10.0)
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    source = SS(eyes=("left",), window_s=0.05, timeout=20.0,
+                _listen_sock=srv)
+    got = []
+
+    def producer():
+        rng = np.random.default_rng(0)
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            for i in range(3):
+                n = 150
+                ev = np.stack([
+                    rng.integers(0, HW[1], n).astype(np.float64),
+                    rng.integers(0, HW[0], n).astype(np.float64),
+                    np.sort(rng.uniform(i * 0.05, (i + 1) * 0.05, n)),
+                    rng.choice([0.0, 1.0], n).astype(np.float64)], axis=1)
+                send_events(s, 0, ev)
+            s.shutdown(socket.SHUT_WR)  # EOF for events; keep reading
+            while True:
+                d = recv_depth(s)
+                if d is None:
+                    break
+                got.append(d)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    out = stream_loop(cfg, source=source, pipeline=0, reply=True)
+    t.join(timeout=15)
+    assert out["n_windows"] == 3
+    assert len(got) == 3
+    for d in got:
+        assert d.shape == (1,) + HW and np.isfinite(d).all()
+
+
+def test_streaming_bf16_compute_dtype():
+    """bf16 serving tracks the float32 path within bf16 tolerance and
+    returns float32 depths."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereospike_tpu.models import init_params, stereospike_monocular
+    from stereospike_tpu.streaming import StreamingEvaluator
+
+    cfg = stereospike_monocular(in_hw=HW, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    n = 500
+    ev = np.stack([
+        rng.integers(0, HW[1], n).astype(np.float32),
+        rng.integers(0, HW[0], n).astype(np.float32),
+        np.sort(rng.uniform(0, 0.05, n)).astype(np.float32),
+        rng.choice([0.0, 1.0], n).astype(np.float32)], axis=1)
+    d32 = StreamingEvaluator(params, cfg, eyes=("left",),
+                             block=1024).push({"left": ev})
+    dbf = StreamingEvaluator(params, cfg, eyes=("left",), block=1024,
+                             compute_dtype=jnp.bfloat16).push({"left": ev})
+    assert dbf.dtype == np.float32
+    assert np.isfinite(dbf).all()
+    # spiking nets are not bitwise-stable across precisions: a bf16
+    # rounding near v_threshold flips individual spikes, shifting a full
+    # charge quantum on those pixels. Assert agreement DISTRIBUTIONALLY:
+    # most pixels track the float32 path, and the depth scale matches.
+    close = np.abs(dbf - d32) <= 0.2 + 0.15 * np.abs(d32)
+    assert close.mean() > 0.6, f"only {close.mean():.0%} of pixels track f32"
+    assert abs(np.median(dbf) - np.median(d32)) < 0.1
