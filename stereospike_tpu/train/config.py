@@ -74,6 +74,11 @@ class TrainConfig:
     # default: their custom-call relayouts cost more than the fusion saves
     # (models/multistep.py module docstring).
     multistep: bool = False
+    # gradient accumulation: split each batch into accum_steps microbatches
+    # walked by a lax.scan (one microbatch of activations live at a time) —
+    # large effective batches on bounded HBM. Mean-of-microbatch-gradient
+    # semantics (see train/steps.py:make_train_step)
+    accum_steps: int = 1
     # no-grad warmup inference before the train chunks (train.py:223-228)
     use_warmup: bool = False
     # seed the depth integrators with the previous GT

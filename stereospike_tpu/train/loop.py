@@ -328,7 +328,8 @@ def train_loop(
 
     step_kw = dict(learn_on=cfg.learn_on, compute_dtype=dtype,
                    multistep=cfg.multistep, use_warmup=cfg.use_warmup,
-                   use_init_pots=cfg.use_init_pots)
+                   use_init_pots=cfg.use_init_pots,
+                   accum_steps=cfg.accum_steps)
     train_step = make_train_step(model_cfg, loss_cfg, tx, **step_kw)
     base_eval = make_eval_step(model_cfg, loss_cfg, learn_on=cfg.learn_on,
                                compute_dtype=dtype, multistep=cfg.multistep)

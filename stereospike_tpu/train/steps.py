@@ -125,6 +125,7 @@ def make_train_step(
     use_warmup: bool = False,
     use_init_pots: bool = False,
     grad_psum_axis: Optional[str] = None,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Dict], tuple]:
     """Build ``step(state, batch) -> (state, metrics)``.
 
@@ -136,18 +137,54 @@ def make_train_step(
     globally-psum'd sufficient statistics (exactly the single-device math)
     and the gradients are psum'd — the hand-written collective equivalent of
     what jit's SPMD partitioner derives from sharding annotations.
+    ``accum_steps > 1``: gradient accumulation — the batch is split into
+    that many microbatches, walked by a ``lax.scan`` whose carry holds only
+    ONE microbatch's activations plus the fp32 grad accumulator, so the
+    effective batch is bounded by HBM at B/accum_steps. Semantics are
+    mean-of-microbatch gradients (each microbatch's loss its own pooled
+    masked mean) — identical to data-parallel averaging over accum_steps
+    shards, not bitwise-identical to the single-pass pooled loss when
+    valid-pixel counts differ across microbatches.
     """
 
-    def step(state: TrainState, batch: Dict):
-        def loss_fn(params):
-            return _loss_and_metrics(params, batch, model_cfg, loss_cfg,
-                                     learn_on, compute_dtype, remat, multistep,
-                                     use_warmup, use_init_pots,
-                                     axis_name=grad_psum_axis)
+    def loss_fn(params, batch):
+        return _loss_and_metrics(params, batch, model_cfg, loss_cfg,
+                                 learn_on, compute_dtype, remat, multistep,
+                                 use_warmup, use_init_pots,
+                                 axis_name=grad_psum_axis)
 
-        (loss, (mde, _)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
-        grads = _cast_tree(grads, jnp.float32)
+    def grads_and_metrics(params, batch: Dict):
+        if accum_steps == 1:
+            (loss, (mde, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            return _cast_tree(grads, jnp.float32), loss, mde
+        b = batch["gt"].shape[0]
+        if b % accum_steps:
+            raise ValueError(
+                f"batch size {b} is not divisible by "
+                f"accum_steps={accum_steps}")
+        micro = jax.tree.map(
+            lambda x: x.reshape((accum_steps, b // accum_steps)
+                                + tuple(x.shape[1:])), batch)
+
+        def body(acc, mb):
+            acc_g, acc_l, acc_m = acc
+            (l, (m, _)), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mb)
+            g = _cast_tree(g, jnp.float32)
+            return (jax.tree.map(jnp.add, acc_g, g),
+                    acc_l + l, acc_m + m), None
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        (gsum, lsum, msum), _ = jax.lax.scan(
+            body, (zeros, jnp.float32(0.0), jnp.float32(0.0)), micro)
+        inv = 1.0 / accum_steps
+        return (jax.tree.map(lambda g: g * inv, gsum),
+                lsum * inv, msum * inv)
+
+    def step(state: TrainState, batch: Dict):
+        grads, loss, mde = grads_and_metrics(state.params, batch)
         if grad_psum_axis is not None:
             # loss is already global (psum'd statistics); each shard's
             # backward holds only its local data's gradient contribution

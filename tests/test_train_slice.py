@@ -187,3 +187,64 @@ def test_train_loop_uses_spatial_mesh(tmp_path, monkeypatch):
     summary = L.train_loop(cfg, synthetic=True, max_steps=1)
     assert seen == {"spatial": True, "mesh": (4, 2)}
     assert np.isfinite(summary["train_loss"])
+
+
+def test_grad_accumulation_matches_mean_of_microbatch_grads():
+    """accum_steps=2 must equal applying the MEAN of the two half-batch
+    gradients (the documented data-parallel-averaging semantics)."""
+    import optax
+
+    from stereospike_tpu.train.steps import _loss_and_metrics
+
+    cfg, tx, state, batch = _setup(batch=4)
+    loss_cfg = TotalLossConfig()
+
+    step_acc = jax.jit(make_train_step(cfg, loss_cfg, tx, accum_steps=2))
+    new_state, metrics = step_acc(state, batch)
+
+    # manual: mean of the two microbatch grads, one optimizer update
+    def loss_fn(p, mb):
+        return _loss_and_metrics(p, mb, cfg, loss_cfg, "LIN", jnp.float32,
+                                 False, False)[0]
+    halves = jax.tree.map(
+        lambda x: x.reshape((2, 2) + tuple(x.shape[1:])), batch)
+    g0 = jax.grad(loss_fn)(state.params,
+                           jax.tree.map(lambda x: x[0], halves))
+    g1 = jax.grad(loss_fn)(state.params,
+                           jax.tree.map(lambda x: x[1], halves))
+    gm = jax.tree.map(lambda a, b: (a + b) / 2.0, g0, g1)
+    upd, _ = tx.update(gm, state.opt_state, state.params)
+    want = optax.apply_updates(state.params, upd)
+
+    for a, b in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(want)):
+        # adam's rsqrt amplifies the scan-order float reassociation on a
+        # handful of elements; grads themselves agree to ~1e-7
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=2e-5, atol=2e-4)
+    # reported scalars are the microbatch means
+    l0 = float(loss_fn(state.params, jax.tree.map(lambda x: x[0], halves)))
+    l1 = float(loss_fn(state.params, jax.tree.map(lambda x: x[1], halves)))
+    np.testing.assert_allclose(float(metrics["loss"]), (l0 + l1) / 2,
+                               rtol=1e-5)
+
+
+def test_grad_accumulation_rejects_indivisible_batch():
+    import pytest
+
+    cfg, tx, state, batch = _setup(batch=3)
+    step = make_train_step(cfg, TotalLossConfig(), tx, accum_steps=2)
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(step)(state, batch)
+
+
+def test_grad_accumulation_trains_through_loop(tmp_path):
+    """accum_steps reaches the driver: one epoch of synthetic training."""
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import train_loop
+
+    cfg = TrainConfig(model="stereospike_tempo", in_hw=(48, 64),
+                      batch_size=4, accum_steps=2, epochs=1,
+                      checkpoint_dir=str(tmp_path), augment=False)
+    out = train_loop(cfg, synthetic=True, max_steps=2)
+    assert np.isfinite(out["train_loss"])
