@@ -109,7 +109,9 @@ def main(argv=None) -> int:
             p.add_argument("--events-dir", type=str, default=None,
                            help="DENSE-format events/data dir (one .npy "
                                 "TXYP file per window; monocular)")
-            p.add_argument("--n-windows", type=int, default=20)
+            p.add_argument("--n-windows", type=int, default=20,
+                           help="windows to serve; with --listen, 0 serves "
+                                "until producers stop reconnecting")
             p.add_argument("--pipeline", type=int, default=1,
                            help="windows in flight (0 = synchronous)")
             p.add_argument("--save-video", type=str, default=None,

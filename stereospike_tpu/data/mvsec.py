@@ -109,6 +109,21 @@ class MvsecSequence:
         }
 
 
+def _first_row_with_t_above(dset, val: float, strict: bool = True) -> int:
+    """Binary search a time-sorted [N, 4] hdf5 events dataset: the first
+    row index whose timestamp is > ``val`` (``strict``) or >= ``val``.
+    O(log N) single-row point reads — no table materialization."""
+    lo, hi = 0, dset.shape[0]
+    while lo < hi:
+        mid = (lo + hi) // 2
+        t = float(dset[mid, 2])
+        if t < val or (strict and t == val):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
 def load_sequence(
     root: str,
     scenario: str,
@@ -124,6 +139,7 @@ def load_sequence(
     tables: Optional[Dict] = None,
     hw: Tuple[int, int] = (FRAME_H, FRAME_W),
     device_voxelize: bool = False,
+    event_block_rows: Optional[int] = None,
 ) -> MvsecSequence:
     """Load + preprocess one MVSEC sequence from the on-disk hdf5 layout
     (``<root>/<scenario>/<scenario><seq>_{data,gt}.hdf5`` +
@@ -157,6 +173,64 @@ def load_sequence(
         raise ValueError("learn_on must be LIN, LOG or DISP")
     labels = np.where(masks, labels, 0.0).astype(np.float32)
 
+    calib = os.path.join(root, scenario, f"{scenario}_calib")
+    maps = {
+        side: (
+            np.loadtxt(os.path.join(calib, f"{scenario}_{side}_x_map.txt")),
+            np.loadtxt(os.path.join(calib, f"{scenario}_{side}_y_map.txt")),
+        )
+        for side in ("left", "right")
+    }
+    # time-crop to the retained GT window (mvsec_dataset.py:166-167)
+    t_lo, t_hi = depth_ts[0] - 0.05, depth_ts[-1]
+    n_chunks = depth_ts.shape[0]
+
+    if event_block_rows:
+        # memory-bounded build: a real MVSEC sequence carries O(10^8)
+        # events (~GBs at float64); instead of materializing the table,
+        # binary-search the crop bounds on the time-sorted hdf5 column,
+        # then stream fixed-size row blocks straight into the C++
+        # rectify+bin accumulator (binning is a pure scatter-add, so
+        # per-block accumulation into one frames buffer is exact). Peak
+        # event memory = event_block_rows rows, regardless of file size.
+        if device_voxelize:
+            raise ValueError(
+                "event_block_rows streams through the host binner; "
+                "device_voxelize needs the full table (unset one)")
+        from stereospike_tpu.native import rectify_bin_events
+
+        dt = 1.0 / (20.0 * nfpdm)
+        shape = (n_chunks, nfpdm, hw[0], hw[1], 2)
+        with h5py.File(data_path, "r") as f:
+            out = {}
+            for side in ("left", "right"):
+                dset = f["davis"][side]["events"]
+                i0 = _first_row_with_t_above(dset, t_lo)
+                i1 = _first_row_with_t_above(dset, t_hi, strict=False)
+                frames = np.zeros((n_chunks * nfpdm, hw[0], hw[1], 2),
+                                  np.float32)
+                t0 = float(dset[i0, 2]) if i1 > i0 else 0.0
+                for s in range(i0, i1, int(event_block_rows)):
+                    blk = np.asarray(
+                        dset[s:min(s + int(event_block_rows), i1)],
+                        np.float64)
+                    rectify_bin_events(
+                        blk, n_chunks * nfpdm, t0, dt,
+                        x_map=maps[side][0], y_map=maps[side][1],
+                        height=hw[0], width=hw[1], out=frames)
+                out[side] = frames.reshape(shape)
+        data_l, data_r = out["left"], out["right"]
+        if normalize:  # nonzero-normalization (mvsec_dataset.py:183-192)
+            for d in (data_l, data_r):
+                nz = d > 0
+                m, s = d[nz].mean(), d[nz].std()
+                d[nz] = (d[nz] - m) / s
+        return MvsecSequence(
+            data_left=data_l, data_right=data_r,
+            labels=labels[..., None], masks=masks[..., None],
+            n_warmup=warmup_chunks, n_train=train_chunks,
+        )
+
     with h5py.File(data_path, "r") as f:
         # Keep events in float64: real MVSEC timestamps are ROS epoch seconds
         # (~1.5e9), where float32 resolution is ~128 s — narrowing before the
@@ -166,21 +240,9 @@ def load_sequence(
         ev_l = np.asarray(f["davis"]["left"]["events"], np.float64)
         ev_r = np.asarray(f["davis"]["right"]["events"], np.float64)
 
-    # time-crop to the retained GT window (mvsec_dataset.py:166-167)
-    t_lo, t_hi = depth_ts[0] - 0.05, depth_ts[-1]
     ev_l = ev_l[(ev_l[:, 2] > t_lo) & (ev_l[:, 2] < t_hi)]
     ev_r = ev_r[(ev_r[:, 2] > t_lo) & (ev_r[:, 2] < t_hi)]
 
-    calib = os.path.join(root, scenario, f"{scenario}_calib")
-    maps = {
-        side: (
-            np.loadtxt(os.path.join(calib, f"{scenario}_{side}_x_map.txt")),
-            np.loadtxt(os.path.join(calib, f"{scenario}_{side}_y_map.txt")),
-        )
-        for side in ("left", "right")
-    }
-
-    n_chunks = depth_ts.shape[0]
     if device_voxelize:
         data_l = voxelize_sequence(ev_l, n_chunks, nfpdm,
                                    x_map=maps["left"][0], y_map=maps["left"][1],
@@ -246,14 +308,16 @@ def load_mvsec(
     load_test_only: bool = False,
     tables: Optional[Dict] = None,
     hw: Tuple[int, int] = (FRAME_H, FRAME_W),
+    event_block_rows: Optional[int] = None,
 ):
     """Assemble (train, val, test) views per the Tulyakov split protocol
-    (load_MVSEC, mvsec_dataset.py:14-73)."""
+    (load_MVSEC, mvsec_dataset.py:14-73). ``event_block_rows`` bounds the
+    build's event memory (streamed hdf5 blocks through the C++ binner)."""
     tables = load_split_tables() if tables is None else tables
     info = tables["splits"][split]
     kw = dict(nfpdm=nfpdm, warmup_chunks=warmup_chunks,
               train_chunks=train_chunks, learn_on=learn_on, normalize=normalize,
-              tables=tables, hw=hw)
+              tables=tables, hw=hw, event_block_rows=event_block_rows)
 
     valtest = load_sequence(root, scenario, split, info["valtest_sequence"], **kw)
 

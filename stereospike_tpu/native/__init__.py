@@ -131,8 +131,15 @@ def rectify_bin_events(
     height: int = 260,
     width: int = 346,
     polarity_mode: str = "binary",
+    out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Host-path fused rectify+bin → [n_frames, H, W, 2] count frames."""
+    """Host-path fused rectify+bin → [n_frames, H, W, 2] count frames.
+
+    ``out``: accumulate into an existing (caller-owned) frames buffer
+    instead of a fresh zeroed one — the streaming-build primitive: callers
+    feed event BLOCKS (bounded memory) and every block adds its counts to
+    the same buffer, which is exact because binning is a pure scatter-add.
+    """
     events = np.asarray(events)
     if events.dtype != np.float32:
         # float64 input = raw absolute timestamps (ROS epoch seconds, where
@@ -146,7 +153,14 @@ def rectify_bin_events(
         ev32[:, 3] = events[:, 3]
         events, t0 = ev32, 0.0
     events = np.ascontiguousarray(events, np.float32)
-    frames = np.zeros((n_frames, height, width, 2), np.float32)
+    if out is None:
+        frames = np.zeros((n_frames, height, width, 2), np.float32)
+    else:
+        if out.shape != (n_frames, height, width, 2) or out.dtype != np.float32 \
+                or not out.flags["C_CONTIGUOUS"]:
+            raise ValueError(
+                f"out must be C-contiguous float32 {(n_frames, height, width, 2)}")
+        frames = out
     mode = 0 if polarity_mode == "binary" else 1
     lib = _load()
     if lib is not None:

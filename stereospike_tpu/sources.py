@@ -265,10 +265,16 @@ class SocketSource:
     def __init__(self, host: str = "127.0.0.1", port: int = 7007, *,
                  eyes: Sequence[str] = ("left", "right"),
                  window_s: float = 0.05, timeout: Optional[float] = 30.0,
+                 reconnect: bool = False,
                  _listen_sock: Optional[socket.socket] = None):
         self.eyes = tuple(eyes)
         self.window_s = float(window_s)
         self.timeout = timeout
+        # serve-forever mode: when the producer disconnects, flush its tail
+        # window, then accept the NEXT producer (fresh clock epoch → fresh
+        # assembler) instead of ending iteration. A timed-out re-accept
+        # ends iteration cleanly.
+        self.reconnect = bool(reconnect)
         if _listen_sock is not None:
             self._srv = _listen_sock
         else:
@@ -303,40 +309,56 @@ class SocketSource:
             DEPTH_HEADER.pack(DEPTH_MAGIC, PACKET_VERSION, s, h, w)
             + np.ascontiguousarray(d).tobytes())
 
-    def __iter__(self) -> Iterator[Window]:
+    def _serve_connection(self, conn) -> Iterator[Window]:
         asm = _WindowAssembler(self.eyes, self.window_s)
-        conn, _ = self._srv.accept()
-        conn.settimeout(self.timeout)
-        self._conn = conn
+        late0 = self.late_dropped
+        while True:
+            hdr = _recv_exact(conn, PACKET_HEADER.size)
+            if hdr is None:
+                break
+            magic, version, eye, n_rows, t_base = PACKET_HEADER.unpack(hdr)
+            if magic != PACKET_MAGIC or version != PACKET_VERSION:
+                raise ValueError(
+                    f"bad packet header (magic={magic:#x}, "
+                    f"version={version}) — not a SPKE v1 stream")
+            body = _recv_exact(conn, n_rows * 16)
+            if body is None:
+                self.bad_packets += 1
+                break  # truncated mid-packet: producer died
+            if eye >= len(self.eyes):
+                self.bad_packets += 1
+                continue
+            ev = np.frombuffer(body, np.float32).reshape(n_rows, 4)
+            ev = ev.astype(np.float64)
+            ev[:, 2] += t_base  # exact absolute stamps (float64)
+            asm.add(self.eyes[eye], ev)
+            while asm.ready():
+                self.late_dropped = late0 + asm.late_dropped
+                yield asm.emit()
+        tail = asm.flush()
+        self.late_dropped = late0 + asm.late_dropped
+        if tail is not None:
+            yield tail
+
+    def __iter__(self) -> Iterator[Window]:
+        first = True
         try:
             while True:
-                hdr = _recv_exact(conn, PACKET_HEADER.size)
-                if hdr is None:
-                    break
-                magic, version, eye, n_rows, t_base = PACKET_HEADER.unpack(hdr)
-                if magic != PACKET_MAGIC or version != PACKET_VERSION:
-                    raise ValueError(
-                        f"bad packet header (magic={magic:#x}, "
-                        f"version={version}) — not a SPKE v1 stream")
-                body = _recv_exact(conn, n_rows * 16)
-                if body is None:
-                    self.bad_packets += 1
-                    break  # truncated mid-packet: producer died
-                if eye >= len(self.eyes):
-                    self.bad_packets += 1
-                    continue
-                ev = np.frombuffer(body, np.float32).reshape(n_rows, 4)
-                ev = ev.astype(np.float64)
-                ev[:, 2] += t_base  # exact absolute stamps (float64)
-                asm.add(self.eyes[eye], ev)
-                while asm.ready():
-                    self.late_dropped = asm.late_dropped
-                    yield asm.emit()
-            tail = asm.flush()
-            self.late_dropped = asm.late_dropped
-            if tail is not None:
-                yield tail
+                try:
+                    conn, _ = self._srv.accept()
+                except (socket.timeout, TimeoutError):
+                    if first:
+                        raise  # no producer ever showed up: misconfig
+                    return     # reconnect mode: served everyone, done
+                first = False
+                conn.settimeout(self.timeout)
+                self._conn = conn
+                try:
+                    yield from self._serve_connection(conn)
+                finally:
+                    self._conn = None
+                    conn.close()
+                if not self.reconnect:
+                    return
         finally:
-            self._conn = None
-            conn.close()
             self._srv.close()

@@ -40,6 +40,10 @@ class TrainConfig:
     scenario: str = "indoor_flying"
     split: str = "1"
     data_root: str = "./datasets/MVSEC/data/"
+    # bound the dataset build's event memory: stream the hdf5 events table
+    # in blocks of this many rows through the C++ rectify+bin accumulator
+    # (None = materialize the full table, the reference's behavior)
+    event_block_rows: Optional[int] = None
     normalize: bool = False
     # the reference composes hflip/vflip/time-mirror/event-drop into every
     # training run (data_augmentation.py:166-172, train.py:84-90)

@@ -174,13 +174,14 @@ def _make_data(cfg: TrainConfig, synthetic: bool, tmpdir: Optional[str],
         return load_mvsec(root, split="1", tables=tables, hw=tuple(cfg.in_hw),
                           nfpdm=cfg.nfpdm, warmup_chunks=cfg.n_warmup,
                           train_chunks=cfg.n_inference, learn_on=cfg.learn_on,
-                          load_test_only=test_only)
+                          load_test_only=test_only,
+                          event_block_rows=cfg.event_block_rows)
     return load_mvsec(
         cfg.data_root, scenario=cfg.scenario, split=cfg.split,
         nfpdm=cfg.nfpdm, warmup_chunks=cfg.n_warmup,
         train_chunks=cfg.n_inference, learn_on=cfg.learn_on,
         normalize=cfg.normalize, hw=tuple(cfg.in_hw),
-        load_test_only=test_only)
+        load_test_only=test_only, event_block_rows=cfg.event_block_rows)
 
 
 def _test_view(cfg: TrainConfig, synthetic: bool, data):
@@ -611,9 +612,12 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         window_s = float(getattr(source, "window_s", window_s))
     elif listen is not None:
         host, _, port = listen.rpartition(":")
+        # n_windows <= 0 = serve forever: accept successive producers
+        # (reconnect) until one re-accept times out
         source = src.SocketSource(host or "127.0.0.1", int(port),
-                                  eyes=eyes, window_s=window_s)
-        if n_windows:
+                                  eyes=eyes, window_s=window_s,
+                                  reconnect=(n_windows <= 0))
+        if n_windows > 0:
             source = itertools.islice(iter(source), n_windows)
     elif events_dir is not None:
         if binocular:

@@ -360,3 +360,25 @@ def test_epoch_scale_timestamps_survive_voxelization():
     host = rectify_bin_events(ev_abs, n_chunks, float(ev_abs[0, 2]), 1 / 20.0,
                               height=hw[0], width=hw[1])
     np.testing.assert_array_equal(host.reshape(ref.shape), ref)
+
+
+def test_streamed_event_loading_matches_full(mvsec_root):
+    """event_block_rows (memory-bounded hdf5 streaming through the C++
+    binner) must reproduce the full-table build bit-for-bit: binning is a
+    pure scatter-add, so block accumulation is exact."""
+    root, tables = mvsec_root
+    full = load_sequence(root, "indoor_flying", "1", "1", tables=tables,
+                         hw=HW)
+    streamed = load_sequence(root, "indoor_flying", "1", "1", tables=tables,
+                             hw=HW, event_block_rows=257)  # many odd blocks
+    np.testing.assert_array_equal(streamed.data_left, full.data_left)
+    np.testing.assert_array_equal(streamed.data_right, full.data_right)
+    np.testing.assert_array_equal(streamed.labels, full.labels)
+    np.testing.assert_array_equal(streamed.masks, full.masks)
+
+
+def test_streamed_loading_rejects_device_voxelize(mvsec_root):
+    root, tables = mvsec_root
+    with pytest.raises(ValueError, match="event_block_rows"):
+        load_sequence(root, "indoor_flying", "1", "1", tables=tables, hw=HW,
+                      event_block_rows=1000, device_voxelize=True)

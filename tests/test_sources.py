@@ -301,3 +301,30 @@ def test_streaming_bf16_compute_dtype():
     close = np.abs(dbf - d32) <= 0.2 + 0.15 * np.abs(d32)
     assert close.mean() > 0.6, f"only {close.mean():.0%} of pixels track f32"
     assert abs(np.median(dbf) - np.median(d32)) < 0.1
+
+
+def test_socket_source_reconnect_serves_successive_producers():
+    """reconnect mode: a second producer (fresh clock epoch) is served
+    after the first disconnects; a timed-out re-accept ends iteration."""
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    src = SocketSource(eyes=("left",), window_s=0.05, timeout=3.0,
+                       reconnect=True, _listen_sock=srv)
+
+    def producer(epoch):
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            send_events(s, 0, _ev([epoch + 0.00, epoch + 0.02,
+                                   epoch + 0.06]))
+
+    def run_producers():
+        producer(1000.0)   # one full window + tail
+        producer(2000.0)   # completely different epoch
+    t = threading.Thread(target=run_producers, daemon=True)
+    t.start()
+    wins = list(src)  # ends when the 3 s re-accept times out
+    t.join(timeout=10)
+    # each producer yields one full window + one flushed tail
+    assert len(wins) == 4
+    np.testing.assert_allclose(wins[0]["left"][:, 2], [0.0, 0.02], atol=1e-6)
+    np.testing.assert_allclose(wins[2]["left"][:, 2], [0.0, 0.02], atol=1e-6)
+    assert src.late_dropped == 0
