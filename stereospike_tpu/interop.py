@@ -165,6 +165,12 @@ def params_from_torch_state_dict(
                 _np(state_dict[key]).reshape(()), jnp.float32)
             used.add(key)
     for path, key in _SCALE_KEYS.items():
+        if path[0].startswith("pred") and int(path[0][-1]) not in cfg.heads:
+            # cut-predict heads were skipped above; folding their learnable
+            # scale in anyway would re-create the dead 'pred4' subtree the
+            # skip exists to prevent (and break a later export's zero-fill
+            # detection, which checks for the subtree's presence)
+            continue
         if key in state_dict:
             _set(params, path + ("scale",), jnp.asarray(
                 _np(state_dict[key]).reshape(1), jnp.float32))

@@ -90,13 +90,24 @@ def recv_depth(sock: socket.socket) -> Optional[np.ndarray]:
     return np.frombuffer(body, np.float32).reshape(s, h, w)
 
 
+class _Truncated(ConnectionError):
+    """Peer closed mid-packet (partial header/body)."""
+
+
 def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
-    """Read exactly n bytes, or None on clean EOF."""
+    """Read exactly n bytes; None on CLEAN EOF (zero bytes), raises
+    :class:`_Truncated` on a partial read — a connection that dies (or was
+    never speaking SPKE and sent fewer bytes than a header) must be
+    distinguishable from a producer that finished."""
     chunks = []
+    want = n
     while n:
         b = sock.recv(min(n, 1 << 20))
         if not b:
-            return None
+            if n == want:
+                return None
+            raise _Truncated(f"peer closed {want - n} bytes into a "
+                             f"{want}-byte read")
         chunks.append(b)
         n -= len(b)
     return b"".join(chunks)
@@ -222,10 +233,14 @@ class ReplayDirSource:
             raise FileNotFoundError(f"no .npy event files in {events_dir}")
         self.files = files[:n_windows] if n_windows else files
         if window_s is None:
+            # span needs only the raw time column: memory-map instead of
+            # loading+converting every file twice (once here, once on
+            # iteration). Column index by AER layout: TXYP → 0, XYTP → 2.
+            t_col = 0 if aer_format.upper().startswith("T") else 2
             spans = []
             for f in self.files:
-                ev = self._load(f)
-                spans.append(float(ev[-1, 2]) - float(ev[0, 2]))
+                raw = np.load(os.path.join(events_dir, f), mmap_mode="r")
+                spans.append(float(raw[-1, t_col]) - float(raw[0, t_col]))
             # headroom keeps the last event inside the final bin under
             # floor(t/dt) binning (see train/loop.py stream_loop)
             window_s = max(max(spans), 1e-6) * (1 + 1e-6)
@@ -313,18 +328,22 @@ class SocketSource:
         asm = _WindowAssembler(self.eyes, self.window_s)
         late0 = self.late_dropped
         while True:
-            hdr = _recv_exact(conn, PACKET_HEADER.size)
-            if hdr is None:
-                break
-            magic, version, eye, n_rows, t_base = PACKET_HEADER.unpack(hdr)
-            if magic != PACKET_MAGIC or version != PACKET_VERSION:
-                raise ValueError(
-                    f"bad packet header (magic={magic:#x}, "
-                    f"version={version}) — not a SPKE v1 stream")
-            body = _recv_exact(conn, n_rows * 16)
+            try:
+                hdr = _recv_exact(conn, PACKET_HEADER.size)
+                if hdr is None:
+                    break
+                magic, version, eye, n_rows, t_base = PACKET_HEADER.unpack(hdr)
+                if magic != PACKET_MAGIC or version != PACKET_VERSION:
+                    raise ValueError(
+                        f"bad packet header (magic={magic:#x}, "
+                        f"version={version}) — not a SPKE v1 stream")
+                body = _recv_exact(conn, n_rows * 16)
+            except _Truncated:
+                self.bad_packets += 1
+                break  # died mid-packet (or sent < one header of garbage)
             if body is None:
                 self.bad_packets += 1
-                break  # truncated mid-packet: producer died
+                break  # clean EOF where a body belonged
             if eye >= len(self.eyes):
                 self.bad_packets += 1
                 continue
@@ -335,9 +354,13 @@ class SocketSource:
             while asm.ready():
                 self.late_dropped = late0 + asm.late_dropped
                 yield asm.emit()
-        tail = asm.flush()
-        self.late_dropped = late0 + asm.late_dropped
-        if tail is not None:
+        # a stalled eye can leave SEVERAL windows buffered (ready() waits
+        # for every eye): drain them all, not just the first
+        while True:
+            tail = asm.flush()
+            self.late_dropped = late0 + asm.late_dropped
+            if tail is None:
+                break
             yield tail
 
     def __iter__(self) -> Iterator[Window]:
@@ -355,6 +378,15 @@ class SocketSource:
                 self._conn = conn
                 try:
                     yield from self._serve_connection(conn)
+                except (ValueError, socket.timeout, TimeoutError,
+                        ConnectionError, OSError):
+                    # serve-forever must survive stray connections (port
+                    # scanners, health checks) and producers that stall
+                    # mid-packet: count, drop the connection, re-accept.
+                    # Single-shot mode keeps the loud failure.
+                    if not self.reconnect:
+                        raise
+                    self.bad_packets += 1
                 finally:
                     self._conn = None
                     conn.close()

@@ -158,12 +158,14 @@ class StreamingEvaluator:
         self.n_streams = int(n_streams)
         # events the voxelizer rejected (timestamp outside [0, window) or
         # out-of-FOV after rectification) — distinct from the ring buffers'
-        # overwrite/truncation ``dropped``. Per-push device scalars are
-        # parked and only summed+fetched when ``binning_dropped`` is READ:
-        # an eager int() per push would add a whole D2H round trip (~30 ms
-        # on this tunnel) to the latency-critical path.
+        # overwrite/truncation ``dropped``. Folded into ONE on-device
+        # scalar accumulator per fetch (an async add) and only D2H-fetched
+        # when ``binning_dropped`` is READ: an eager int() per push would
+        # add a whole round trip (~30 ms on this tunnel) to the
+        # latency-critical path, and parking a list would grow without
+        # bound in serve-forever mode.
         self._host_binning_dropped = 0
-        self._drop_scalars: list = []
+        self._drop_acc = None
         # pipelined results in flight: (depth, dropped count, was_list)
         self._pending: "collections.deque[Tuple[Array, Array, bool]]" = collections.deque()
         self.stream_buffers = [
@@ -182,6 +184,7 @@ class StreamingEvaluator:
         dt = window / nfpdm
 
         def voxelize(ev: Array, valid: Array, eye: str):
+            valid_in = valid  # PRE-rectification: FOV rejects must count
             if self._maps[eye] is not None:
                 ev, valid = rectify_events(ev, *self._maps[eye], valid,
                                            width=w, height=h)
@@ -189,12 +192,14 @@ class StreamingEvaluator:
                                   jnp.float32(dt), n_frames=nfpdm,
                                   height=h, width=w)
             # every binned event contributes exactly one count, so the
-            # difference against the input's valid rows is the number of
+            # difference against the INPUT's valid rows is the number of
             # events the window silently rejected (timestamp outside
             # [0, window) → the voxelizer's dump bin, or out-of-FOV after
-            # rectification) — a mis-relativized live feed would otherwise
-            # show clean latencies and empty frames
-            dropped = jnp.sum(valid) - jnp.sum(fr)
+            # rectification — counted against the pre-rectification mask,
+            # else a miscalibrated camera reports 0 while serving empty
+            # frames) — a mis-relativized live feed would otherwise show
+            # clean latencies and empty frames
+            dropped = jnp.sum(valid_in) - jnp.sum(fr)
             # [nfpdm, H, W, 2] -> [H, W, nfpdm*2] (frame, pol) stacking
             return jnp.transpose(fr, (1, 2, 0, 3)).reshape(h, w, -1), dropped
 
@@ -237,15 +242,15 @@ class StreamingEvaluator:
     @property
     def binning_dropped(self) -> int:
         """Total voxelizer-rejected events so far (one deferred D2H fetch)."""
-        if self._drop_scalars:
-            self._host_binning_dropped += int(np.asarray(
-                jnp.sum(jnp.stack(self._drop_scalars))))
-            self._drop_scalars.clear()
+        if self._drop_acc is not None:
+            self._host_binning_dropped += int(np.asarray(self._drop_acc))
+            self._drop_acc = None
         return self._host_binning_dropped
 
     def _fetch(self, pending) -> np.ndarray:
         depth, dropped, was_list = pending
-        self._drop_scalars.append(dropped)
+        self._drop_acc = (dropped if self._drop_acc is None
+                          else self._drop_acc + dropped)
         # dict input -> [H, W, 1]; list input -> [S, H, W, 1] (even S = 1),
         # so code parameterized over n_streams can always index stream s
         return np.asarray(depth) if was_list else np.asarray(depth[0])

@@ -190,6 +190,18 @@ def _test_view(cfg: TrainConfig, synthetic: bool, data):
     return data[2] if isinstance(data, tuple) else data
 
 
+def _fetch_sums(stats, width: int = 2) -> np.ndarray:
+    """Sum a list of per-step device-scalar tuples in one device op + one
+    D2H fetch. The async-dispatch contract of every loop here: metrics stay
+    ON DEVICE while iterating (a per-step float() would block the host a
+    full tunnel round trip per step and serialize next-batch prep behind
+    device compute — measured 3.6×, benchmarks/loop_async.json); this is
+    the single deferred fetch at the end."""
+    if not stats:
+        return np.zeros(width)
+    return np.asarray(jnp.sum(jnp.asarray(stats, jnp.float32), axis=0))
+
+
 def _batch_iter(cfg: TrainConfig, view, **kw):
     """Dataset-dispatching batch iterator: MVSEC views take the canonical
     eye-stacked batcher, DENSE datasets their monocular one. ``kw``:
@@ -406,11 +418,7 @@ def train_loop(
                 done = True
                 break
         n_steps = len(step_metrics)
-        if n_steps:
-            acc = jnp.sum(jnp.asarray(step_metrics, jnp.float32), axis=0)
-            train_loss, train_mde = float(acc[0]), float(acc[1])
-        else:
-            train_loss = train_mde = 0.0
+        train_loss, train_mde = map(float, _fetch_sums(step_metrics))
         train_time = time.time() - t0
 
         # validation (reference train.py:275-335). eval_step returns
@@ -442,11 +450,7 @@ def train_loop(
                               for k, v in zip(TAP_NAMES, rates)}
             n_val += bsz
             n_val_batches += 1
-        if val_stats:
-            acc = jnp.sum(jnp.asarray(val_stats, jnp.float32), axis=0)
-            val_loss, val_mde = float(acc[0]), float(acc[1])
-        else:
-            val_loss = val_mde = 0.0
+        val_loss, val_mde = map(float, _fetch_sums(val_stats))
         val_time = time.time() - t0
 
         state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
@@ -458,6 +462,11 @@ def train_loop(
             "lr": float(sched(steps_done)),
             "train_time_s": train_time,
             "val_time_s": val_time,
+            # wall-clock event-frame throughput incl. host prep/augment —
+            # the number to compare against bench.py's device-only rate
+            "train_frames_per_s": round(
+                n_steps * cfg.batch_size * cfg.n_timesteps
+                / max(train_time, 1e-9), 2),
             **fr_scalars,
         }
         logger.log(scalars, step=steps_done, epoch=epoch)
@@ -519,8 +528,7 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
                 batch, out["depth"], title=f"test batch {n}")
         n_samples += bsz
         n += 1
-    tot = (np.asarray(jnp.sum(jnp.asarray(stats, jnp.float32), axis=0))
-           if stats else np.zeros(2))
+    tot = _fetch_sums(stats)
     results = {"test_loss": float(tot[0]) / max(n_samples, 1),
                "test_MDE": float(tot[1]) / max(n_samples, 1),
                "n_batches": n, "n_samples": n_samples}
@@ -596,8 +604,6 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
     """
     if is_ann_model(cfg.model):
         raise ValueError("streaming serves the stateful SNN models")
-    import itertools
-
     from stereospike_tpu import sources as src
     from stereospike_tpu.streaming import StreamingEvaluator
 
@@ -608,17 +614,20 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
     eyes = ("left", "right") if binocular else ("left",)
 
     window_s = 0.05  # the MVSEC 20 Hz cadence (utils.py:6-11)
+    max_windows = None  # set by the --listen branch (unbounded elsewhere)
     if source is not None:
         window_s = float(getattr(source, "window_s", window_s))
     elif listen is not None:
         host, _, port = listen.rpartition(":")
         # n_windows <= 0 = serve forever: accept successive producers
         # (reconnect) until one re-accept times out
+        # the SOURCE OBJECT must survive (reply()/late_dropped live on
+        # it — an islice wrapper would hide both): bound the window count
+        # in the serving loop below instead
         source = src.SocketSource(host or "127.0.0.1", int(port),
                                   eyes=eyes, window_s=window_s,
                                   reconnect=(n_windows <= 0))
-        if n_windows > 0:
-            source = itertools.islice(iter(source), n_windows)
+        max_windows = n_windows if n_windows > 0 else None
     elif events_dir is not None:
         if binocular:
             raise ValueError("events_dir is a monocular (DENSE-format) "
@@ -661,7 +670,13 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         if d is not None:
             depths.append(d)
             if can_reply:
-                source.reply(d)
+                try:
+                    source.reply(d)
+                except (OSError, RuntimeError):
+                    # producer stopped reading; keep serving, stop replying
+                    can_reply = False
+        if max_windows is not None and len(lat) >= max_windows:
+            break
     while True:
         d = evaluator.flush()
         if d is None:
@@ -769,8 +784,7 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 done = True
                 break
         n_steps = len(step_metrics)
-        tr = (np.asarray(jnp.sum(jnp.asarray(step_metrics, jnp.float32),
-                                 axis=0)) if step_metrics else np.zeros(2))
+        tr = _fetch_sums(step_metrics)
         val_stats = []
         n_val = 0
         for batch in _batch_iter(cfg, val_view, drop_last=False):
@@ -778,8 +792,7 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
             out = eval_step(state.params, state.bn_state, prep(batch, False))
             val_stats.append((out["loss"] * bsz, out["mde"] * bsz))
             n_val += bsz
-        va = (np.asarray(jnp.sum(jnp.asarray(val_stats, jnp.float32),
-                                 axis=0)) if val_stats else np.zeros(2))
+        va = _fetch_sums(val_stats)
         state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
         scalars = {"train_loss": float(tr[0]) / max(n_steps, 1),
                    "train_MDE": float(tr[1]) / max(n_steps, 1),
@@ -840,8 +853,7 @@ def _ann_eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
                 batch, out["depth"], title=f"test batch {n}")
         n_samples += bsz
         n += 1
-    tot = (np.asarray(jnp.sum(jnp.asarray(stats, jnp.float32), axis=0))
-           if stats else np.zeros(2))
+    tot = _fetch_sums(stats)
     results = {"test_loss": float(tot[0]) / max(n_samples, 1),
                "test_MDE": float(tot[1]) / max(n_samples, 1),
                "n_batches": n, "n_samples": n_samples}

@@ -229,3 +229,32 @@ def test_cutpredict_export_includes_defined_pred4():
     assert "pred4" not in back
     np.testing.assert_array_equal(np.asarray(back["pred1"]["w"]),
                                   np.asarray(params["pred1"]["w"]))
+
+
+def test_cutpredict_learnable_scale_does_not_resurrect_pred4():
+    """Regression: a learnable-scale reference .pth carries
+    predict_depth4.1.scale_value; the scale-loading loop must not fold it
+    into a dead params['pred4'] subtree (which would get optimizer state
+    on an import_pth warm start and crash a later export's zero-fill,
+    which keys off the subtree's absence)."""
+    import dataclasses
+
+    from stereospike_tpu.interop import (
+        params_from_torch_state_dict,
+        params_to_torch_state_dict,
+    )
+    from stereospike_tpu.models import init_params
+    from stereospike_tpu.models.factory import stereospike_cutpredict
+
+    cfg = dataclasses.replace(stereospike_cutpredict(in_hw=(48, 64)),
+                              learnable_multiply=True, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    assert "pred4" not in params
+    sd = params_to_torch_state_dict(params)
+    assert "predict_depth4.1.scale_value" in sd  # synthesized for strict
+
+    back = params_from_torch_state_dict(sd, cfg, strict=True)
+    assert "pred4" not in back          # the dead head stays dead
+    # and the re-export round trip must not crash on the missing 'w'
+    sd2 = params_to_torch_state_dict(back)
+    assert set(sd2) == set(sd)

@@ -328,3 +328,115 @@ def test_socket_source_reconnect_serves_successive_producers():
     np.testing.assert_allclose(wins[0]["left"][:, 2], [0.0, 0.02], atol=1e-6)
     np.testing.assert_allclose(wins[2]["left"][:, 2], [0.0, 0.02], atol=1e-6)
     assert src.late_dropped == 0
+
+
+def test_assembler_flush_drains_multiple_windows():
+    """A stalled eye leaves several buffered windows; flush must drain
+    them all (review finding: single-window flush silently dropped data)."""
+    asm = _WindowAssembler(("left", "right"), window_s=0.05)
+    asm.add("left", _ev([0.00, 0.04, 0.06, 0.09, 0.12]))
+    assert not asm.ready()  # right eye silent
+    wins = []
+    while True:
+        w = asm.flush()
+        if w is None:
+            break
+        wins.append(w)
+    assert len(wins) == 3
+    total = sum(w["left"].shape[0] for w in wins)
+    assert total == 5  # nothing dropped
+
+
+def test_reconnect_survives_garbage_connection():
+    """Serve-forever mode must drop a non-SPKE connection (port scanner,
+    health check) and keep serving the next real producer."""
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    src = SocketSource(eyes=("left",), window_s=0.05, timeout=3.0,
+                       reconnect=True, _listen_sock=srv)
+
+    def clients():
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            s.sendall(b"GET / HTTP/1.1\r\n\r\n")
+        producer = socket.create_connection(("127.0.0.1", port))
+        with producer:
+            send_events(producer, 0, _ev([0.0, 0.02, 0.06]))
+    t = threading.Thread(target=clients, daemon=True)
+    t.start()
+    wins = list(src)
+    t.join(timeout=10)
+    assert len(wins) == 2  # full window + tail from the REAL producer
+    assert src.bad_packets >= 1
+
+
+def test_stream_loop_listen_reply_with_bounded_windows(tmp_path):
+    """--listen --reply with a positive --n-windows (the CLI default) must
+    work: the source object survives the window bound (review finding:
+    islice-wrapping hid reply()/late_dropped)."""
+    import time as _time
+
+    from stereospike_tpu.sources import recv_depth
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import stream_loop
+
+    cfg = TrainConfig(model="stereospike_monocular", in_hw=HW,
+                      checkpoint_dir=str(tmp_path), multiply_factor=10.0)
+    # pre-pick a free port for the loop to bind
+    probe = socket.create_server(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    got = []
+
+    def producer():
+        for _ in range(100):  # wait for stream_loop to bind
+            try:
+                s = socket.create_connection(("127.0.0.1", port), timeout=0.3)
+                break
+            except OSError:
+                _time.sleep(0.2)
+        with s:
+            s.settimeout(60)  # the 0.3 s CONNECT timeout must not gate
+            rng = np.random.default_rng(0)  # the reply wait (jit compile)
+            for i in range(3):
+                n = 120
+                ev = np.stack([
+                    rng.integers(0, HW[1], n).astype(np.float64),
+                    rng.integers(0, HW[0], n).astype(np.float64),
+                    np.sort(rng.uniform(i * 0.05, (i + 1) * 0.05, n)),
+                    rng.choice([0.0, 1.0], n).astype(np.float64)], axis=1)
+                send_events(s, 0, ev)
+            s.shutdown(socket.SHUT_WR)
+            while True:
+                d = recv_depth(s)
+                if d is None:
+                    break
+                got.append(d)
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    out = stream_loop(cfg, listen=f"127.0.0.1:{port}", n_windows=2,
+                      pipeline=0, reply=True)
+    t.join(timeout=20)
+    assert out["n_windows"] == 2       # bounded by --n-windows
+    assert len(got) == 2               # and both were replied
+    assert out["late_events"] == 0     # source attrs survived the bound
+
+
+def test_fov_rejects_counted_in_binning_dropped():
+    """Rectification maps that throw every event out of frame must show up
+    in binning_dropped (review finding: FOV drops were invisible)."""
+    import jax
+
+    from stereospike_tpu.models import init_params, stereospike_monocular
+    from stereospike_tpu.streaming import StreamingEvaluator
+
+    cfg = stereospike_monocular(in_hw=HW, multiply_factor=10.0)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    bad_maps = {"left": (np.full(HW, -1.0, np.float32),
+                         np.full(HW, -1.0, np.float32))}
+    ev = _ev(np.linspace(0.001, 0.049, 50)).astype(np.float32)
+    ev[:, 0] = np.clip(ev[:, 0], 0, HW[1] - 1)
+    ev[:, 1] = np.clip(ev[:, 1], 0, HW[0] - 1)
+    evaluator = StreamingEvaluator(params, cfg, eyes=("left",), block=256,
+                                   maps=bad_maps)
+    evaluator.push({"left": ev})
+    assert evaluator.binning_dropped == 50
