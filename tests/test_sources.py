@@ -440,3 +440,39 @@ def test_fov_rejects_counted_in_binning_dropped():
                                    maps=bad_maps)
     evaluator.push({"left": ev})
     assert evaluator.binning_dropped == 50
+
+
+def test_assembler_property_against_brute_force():
+    """Random packet streams: every non-late event comes back exactly once,
+    in its correct window, with an exactly-reconstructible absolute stamp."""
+    rng = np.random.default_rng(7)
+    for trial in range(10):
+        w = 0.05
+        n = int(rng.integers(5, 120))
+        base = float(rng.uniform(0, 2000.0))
+        ts = np.sort(rng.uniform(0, 0.4, n)) + base
+        asm = _WindowAssembler(("left",), window_s=w)
+        # feed in random packet splits
+        cuts = np.sort(rng.choice(np.arange(1, n), size=min(4, n - 1),
+                                  replace=False)) if n > 1 else []
+        wins = []
+        for part in np.split(_ev(ts), cuts):
+            if part.shape[0]:
+                asm.add("left", part)
+            while asm.ready():
+                wins.append(asm.emit())
+        while True:
+            tail = asm.flush()
+            if tail is None:
+                break
+            wins.append(tail)
+        t0 = ts[0]
+        rebuilt = np.concatenate(
+            [wn["left"][:, 2].astype(np.float64) + t0 + i * w
+             for i, wn in enumerate(wins)]) if wins else np.zeros(0)
+        assert rebuilt.shape[0] == n
+        np.testing.assert_allclose(rebuilt, ts, atol=1e-5)
+        for i, wn in enumerate(wins):  # every event in its right window
+            rel = wn["left"][:, 2]
+            assert (rel >= 0).all() and (rel < w + 1e-6).all()
+        assert asm.late_dropped == 0

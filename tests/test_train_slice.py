@@ -248,3 +248,48 @@ def test_grad_accumulation_trains_through_loop(tmp_path):
                       checkpoint_dir=str(tmp_path), augment=False)
     out = train_loop(cfg, synthetic=True, max_steps=2)
     assert np.isfinite(out["train_loss"])
+
+
+def test_grad_accumulation_composes_with_shard_map():
+    """accum_steps under shard_map: each shard scans its LOCAL microbatches
+    with psum'd per-microbatch statistics. The global microbatch k is the
+    union of every shard's local slice k, so the single-device oracle is
+    accum over the batch REORDERED to that partition."""
+    from stereospike_tpu.parallel import make_shardmap_train_step
+
+    assert len(jax.devices()) == 8
+    cfg, tx, state, _ = _setup(batch=16)
+    batch = synthetic_batch(jax.random.PRNGKey(5), batch=16, in_hw=cfg.in_hw)
+    mesh = make_mesh((8, 1))
+
+    sm_step = make_shardmap_train_step(
+        make_train_step(cfg, TotalLossConfig(), tx, grad_psum_axis="data",
+                        accum_steps=2), mesh)
+    st_sm, m_sm = sm_step(state, shard_batch(batch, mesh, spatial=False))
+
+    # shard k holds samples [2k, 2k+1]; local micro 0/1 = first/second →
+    # global micro 0 = even indices, micro 1 = odd indices
+    perm = np.array(list(range(0, 16, 2)) + list(range(1, 16, 2)))
+    reordered = jax.tree.map(lambda x: x[perm], batch)
+    ref_step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx,
+                                       accum_steps=2))
+    st_ref, m_ref = ref_step(state, reordered)
+
+    np.testing.assert_allclose(float(m_sm["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_sm.params["bottom"]["w"]),
+        np.asarray(st_ref.params["bottom"]["w"]), rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accumulation_with_multistep():
+    """accum + the layer-major multistep path: the microbatch tree split
+    covers the [B, T, ...] chunks axis 0 and the step runs end to end."""
+    cfg, tx, state, _ = _setup(batch=4)
+    batch = synthetic_batch(jax.random.PRNGKey(6), batch=4, in_hw=cfg.in_hw,
+                            T=3)
+    step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx,
+                                   accum_steps=2, multistep=True))
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == int(state.step) + 1  # ONE optimizer update
