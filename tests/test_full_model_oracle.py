@@ -202,12 +202,25 @@ def _nchw(x_nhwc):
     return np.ascontiguousarray(np.moveaxis(np.asarray(x_nhwc), -1, 1))
 
 
-@pytest.mark.parametrize("variant,T", [("flagship", 1), ("tempo", 3)])
+@pytest.mark.parametrize("variant,T", [
+    ("flagship", 1), ("tempo", 3),
+    # ablations: the oracle honors cfg.use_skips / cfg.heads, so the
+    # no-skip wiring and the cut deepest head are pinned too
+    ("noskip", 1), ("cutpredict", 1),
+])
 def test_composed_network_matches_torch(variant, T, x64):
     """Forward depths + input/weight gradients of the composed network ==
     the torch oracle on the same interop-exported weights, float64."""
     if variant == "flagship":
         cfg = stereospike(in_hw=HW)          # IF, ATan enc/dec, Sigmoid SEW
+    elif variant == "noskip":
+        from stereospike_tpu.models.factory import stereospike_noskip
+
+        cfg = stereospike_noskip(in_hw=HW)
+    elif variant == "cutpredict":
+        from stereospike_tpu.models.factory import stereospike_cutpredict
+
+        cfg = stereospike_cutpredict(in_hw=HW)
     else:
         cfg = stereospike_tempo(in_hw=HW)    # PLIF tau=3, mf=10
     params = _f64(init_params(jax.random.PRNGKey(0), cfg))
@@ -234,7 +247,8 @@ def test_composed_network_matches_torch(variant, T, x64):
     (loss_j, depths_j), (g_params, g_x) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True)(params, jnp.asarray(frames))
 
-    # forward equivalence (all four cumulative depth scales)
+    assert len(depths_j) == len(depths_t) == len(cfg.heads)
+    # forward equivalence (every cumulative depth scale)
     for d_j, d_t in zip(depths_j, depths_t):
         np.testing.assert_allclose(_nchw(d_j), d_t.detach().numpy(),
                                    rtol=1e-9, atol=1e-9)
@@ -249,7 +263,10 @@ def test_composed_network_matches_torch(variant, T, x64):
     # corrupt this exact-grad comparison)
     g_sd = {}
     for path, stem in _CONV_SITES:
-        leaf = _get(g_params, path)
+        try:
+            leaf = _get(g_params, path)
+        except (KeyError, TypeError):
+            continue  # cut-predict: the cut head has no pytree leaf
         g_sd[f"{stem}.weight"] = np.asarray(leaf["w"]).transpose(3, 2, 0, 1)
         if "b" in leaf:
             g_sd[f"{stem}.bias"] = np.asarray(leaf["b"])
