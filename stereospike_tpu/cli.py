@@ -9,6 +9,7 @@ adapt them to your needs"; train.py:60-68) with subcommands over a
     firing-rates  per-layer spike-density profiling (calculate_firing_rates)
     bench         single-chip training-throughput benchmark
     stream        low-latency streaming serving (events in, depth maps out)
+    doctor        environment diagnostics (device reachability with timeouts)
 
 ``--synthetic`` runs any command on a generated on-disk fixture — no MVSEC
 download needed. ``--config file.json`` loads a saved config; flags override.
@@ -90,6 +91,7 @@ def main(argv=None) -> int:
         ("bench", "measure training throughput"),
         ("stream", "streaming serving: events in, depth maps out"),
         ("export-pth", "export a checkpoint as a reference torch .pth"),
+        ("doctor", "probe the environment: device, tunnel, cache, native ops"),
     ]:
         p = sub.add_parser(name, help=helptext)
         p.add_argument("--config", type=str, default=None,
@@ -105,6 +107,10 @@ def main(argv=None) -> int:
                            help="output .pth path")
             p.add_argument("--which", type=str, default="best.msgpack",
                            help="checkpoint file to export")
+        if name == "doctor":
+            p.add_argument("--device-timeout", type=float, default=120.0,
+                           help="seconds before declaring the accelerator "
+                                "unreachable (a wedged tunnel hangs forever)")
         if name == "stream":
             p.add_argument("--events-dir", type=str, default=None,
                            help="DENSE-format events/data dir (one .npy "
@@ -207,6 +213,13 @@ def main(argv=None) -> int:
             sd = params_to_torch_state_dict(params)
         torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, args.out)
         print(json.dumps({"exported": args.out, "n_tensors": len(sd)}))
+    elif args.command == "doctor":
+        from stereospike_tpu.doctor import run_doctor
+
+        report = run_doctor(device_timeout_s=args.device_timeout,
+                            data_root=cfg.data_root)
+        print(json.dumps(report, indent=2))
+        return 0 if report["ok"] else 2
     elif args.command == "stream":
         from stereospike_tpu.train.loop import stream_loop
 
