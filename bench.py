@@ -65,8 +65,40 @@ def measure(batch: int = 16, iters: int = 20, warmup: int = 3,
     return batch * T * iters / dt
 
 
+def _require_device(timeout_s: float) -> bool:
+    """Backend init + one tiny round trip under a hard timeout: a wedged
+    device tunnel (seen on this backend after killed client processes)
+    hangs even jax.devices() — emit a structured failure line instead of
+    hanging the whole benchmark run."""
+    import threading
+
+    ok = {}
+
+    def probe():
+        jax.devices()
+        ok["v"] = float(jnp.ones(()) + 1.0)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.get("v") == 2.0
+
+
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
+    watchdog = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "1200"))
+    if not _require_device(watchdog):
+        print(json.dumps({
+            "metric": "event frames/sec/chip (StereoSpike 260x346 train step, fwd+bwd+adam)",
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "error": f"device unreachable within {watchdog:.0f} s "
+                     "(wedged tunnel — see CLAUDE.md); last committed "
+                     "measurement: 719.9 f/s, mfu 0.675 (BENCH task r03 "
+                     "artifacts, benchmarks/)",
+        }))
+        return
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     t_multi = int(os.environ.get("BENCH_T", "5"))
     # B·T = 80 frames in flight: the step-major scan stores O(T) membrane
