@@ -5,7 +5,8 @@ calculate_firing_rates.py — SURVEY.md C15/C17/C18) rebuilt as functions over
 a :class:`TrainConfig`, sharing one data/model/step assembly. Adds what the
 reference lacks: exact full-state resume, JSONL metrics, periodic
 checkpoints, synthetic-data mode, multi-device execution, and the
-layer-major fused-Pallas multistep path (``multistep=True``).
+layer-major multistep path (``multistep=True``; statically-unrolled
+recurrences in the conv's own layout — the measured T>1 fast path).
 
 Every SNN variant plus the equivalent-ANN baselines (reference
 ``ANN_models.py:28``, paper Table 4) are reachable through ``cfg.model``;
