@@ -100,6 +100,10 @@ def main(argv=None) -> int:
                        help="run on a generated synthetic fixture")
         p.add_argument("--max-steps", type=int, default=None,
                        help="stop after N optimizer steps (smoke runs)")
+        p.add_argument("--platform", type=str, default=None,
+                       choices=("cpu", "tpu", "gpu"),
+                       help="force a jax backend (JAX_PLATFORMS env alone "
+                            "does not switch on tunneled-device hosts)")
         p.add_argument("--save-config", type=str, default=None,
                        help="write the resolved config to this path and exit")
         if name == "export-pth":
@@ -141,6 +145,8 @@ def main(argv=None) -> int:
     # multi-minute first compile of the U-Net programs
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/stereospike_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
