@@ -112,9 +112,10 @@ def main(argv=None) -> int:
             p.add_argument("--which", type=str, default="best.msgpack",
                            help="checkpoint file to export")
         if name == "doctor":
-            p.add_argument("--device-timeout", type=float, default=120.0,
+            p.add_argument("--device-timeout", type=float, default=240.0,
                            help="seconds before declaring the accelerator "
-                                "unreachable (a wedged tunnel hangs forever)")
+                                "unreachable; default sits above the ~150 s "
+                                "healthy first-fetch stall of tunneled chips")
         if name == "stream":
             p.add_argument("--events-dir", type=str, default=None,
                            help="DENSE-format events/data dir (one .npy "

@@ -6,6 +6,13 @@ cache, the native C++ host ops, and enough host devices for the virtual
 test mesh. This probes each one WITH TIMEOUTS (a wedged device tunnel must
 produce a report saying so, not a hung diagnostic) and prints one JSON
 object. Exit status: 0 if the accelerator answered, 2 otherwise.
+
+The default device timeout (240 s) sits above the documented ~150 s
+HEALTHY first-D2H-fetch stall of a fresh process on tunneled backends
+(CLAUDE.md) — a shorter timeout would misdiagnose a cold-but-healthy
+tunnel as wedged. Note a timed-out probe leaves its daemon thread
+mid-dispatch; on an already-suspect tunnel that is acceptable, but do
+not point the doctor at a healthy busy device with a tiny timeout.
 """
 
 from __future__ import annotations
@@ -38,7 +45,7 @@ def _run_with_timeout(fn, timeout_s: float):
     return out.get("result"), out.get("error"), out.get("seconds", 0.0)
 
 
-def run_doctor(device_timeout_s: float = 120.0,
+def run_doctor(device_timeout_s: float = 240.0,
                data_root: Optional[str] = None) -> Dict:
     import jax
 

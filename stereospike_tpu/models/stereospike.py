@@ -55,13 +55,11 @@ from stereospike_tpu.snn.surrogate import make_spike_fn
 
 Array = jax.Array
 
-# Firing-rate tap names, matching reference calculate_firing_rates
-# (SNN_models.py:194-245; 'out_combined' exists in the reference dict but is
-# never assigned, so it is omitted here).
-# the 14 taps the reference actually measures (SNN_models.py:197-245). Its
-# dict declares a 15th key, 'out_combined', that is never assigned — a
-# vestigial 0.0 from an earlier concat variant — so it is deliberately
-# omitted here rather than reported as a fake always-zero density.
+# The 14 firing-rate taps the reference actually measures
+# (SNN_models.py:197-245). Its dict declares a 15th key, 'out_combined',
+# that is never assigned — a vestigial 0.0 from an earlier concat variant —
+# so it is deliberately omitted rather than reported as a fake always-zero
+# density.
 TAP_NAMES = (
     "out_bottom", "out_conv1", "out_conv2", "out_conv3", "out_conv4",
     "out_rconv",

@@ -76,15 +76,21 @@ def send_events(sock: socket.socket, eye: int, events: np.ndarray) -> None:
 
 
 def recv_depth(sock: socket.socket) -> Optional[np.ndarray]:
-    """Producer-side helper: read one depth reply → [S, H, W] float32
-    (None on clean EOF)."""
-    hdr = _recv_exact(sock, DEPTH_HEADER.size)
-    if hdr is None:
+    """Producer-side helper: read one depth reply → [S, H, W] float32.
+
+    None on end of stream — including a server that died mid-reply (the
+    partial packet is unusable; a camera driver's reader loop should just
+    stop, not crash)."""
+    try:
+        hdr = _recv_exact(sock, DEPTH_HEADER.size)
+        if hdr is None:
+            return None
+        magic, version, s, h, w = DEPTH_HEADER.unpack(hdr)
+        if magic != DEPTH_MAGIC or version != PACKET_VERSION:
+            raise ValueError(f"bad depth header (magic={magic:#x})")
+        body = _recv_exact(sock, s * h * w * 4)
+    except _Truncated:
         return None
-    magic, version, s, h, w = DEPTH_HEADER.unpack(hdr)
-    if magic != DEPTH_MAGIC or version != PACKET_VERSION:
-        raise ValueError(f"bad depth header (magic={magic:#x})")
-    body = _recv_exact(sock, s * h * w * 4)
     if body is None:
         return None
     return np.frombuffer(body, np.float32).reshape(s, h, w)
@@ -341,6 +347,12 @@ class SocketSource:
             except _Truncated:
                 self.bad_packets += 1
                 break  # died mid-packet (or sent < one header of garbage)
+            except (socket.timeout, TimeoutError):
+                # gone-silent producer: treat like EOF so the tail drain
+                # below still emits every fully-buffered window (a stalled
+                # eye can leave several) instead of unwinding past it
+                self.bad_packets += 1
+                break
             if body is None:
                 self.bad_packets += 1
                 break  # clean EOF where a body belonged

@@ -661,33 +661,51 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
     can_reply = reply and hasattr(source, "reply")
     if reply and not can_reply:
         raise ValueError("--reply needs a --listen (socket) source")
+    if can_reply and max_windows is None and pipeline:
+        # serve-forever spans producer reconnects: an in-flight pipelined
+        # depth from producer A would otherwise be replied over producer
+        # B's fresh connection (off-by-pipeline across the boundary).
+        # Synchronous replies keep window→depth→reply on one connection.
+        warnings.warn("--reply with --n-windows 0 forces --pipeline 0 "
+                      "(pipelined replies would cross producer reconnects)")
+        pipeline = 0
+        evaluator.pipeline = 0
 
+    def try_reply(d):
+        # per-reply guard, NOT a latch: a producer that stops reading only
+        # loses its own replies — the next producer gets them again
+        if can_reply:
+            try:
+                source.reply(d)
+            except (OSError, RuntimeError):
+                pass
+
+    # depth maps are retained only when save_video needs them: in
+    # serve-forever mode an unbounded list of [H, W, 1] float32 maps
+    # (~0.36 MB each at full res, 20 Hz) would leak ~26 GB/day
+    keep_depths = bool(save_video)
     lat, depths = [], []
+    n_served = 0
     t_prev = time.time()
     for win in source:
         t0 = time.time()
         d = evaluator.push(win)
         lat.append(time.time() - t0)
         if d is not None:
-            depths.append(d)
-            if can_reply:
-                try:
-                    source.reply(d)
-                except (OSError, RuntimeError):
-                    # producer stopped reading; keep serving, stop replying
-                    can_reply = False
+            n_served += 1
+            if keep_depths:
+                depths.append(d)
+            try_reply(d)
         if max_windows is not None and len(lat) >= max_windows:
             break
     while True:
         d = evaluator.flush()
         if d is None:
             break
-        depths.append(d)
-        if can_reply:
-            try:
-                source.reply(d)
-            except (OSError, RuntimeError):
-                break  # producer already disconnected; tail replies drop
+        n_served += 1
+        if keep_depths:
+            depths.append(d)
+        try_reply(d)
     lat_ms = np.asarray(lat[1:] or lat) * 1e3  # drop the compile window
 
     if save_video and depths:
@@ -697,7 +715,7 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         depth_video(np.stack(depths), save_video, fps=20)
 
     results = {
-        "n_windows": len(depths),
+        "n_windows": n_served,
         "interval_ms_mean": round(float(lat_ms.mean()), 3) if len(lat_ms) else None,
         "interval_ms_p99": round(float(np.percentile(lat_ms, 99)), 3) if len(lat_ms) else None,
         "pipeline": pipeline,

@@ -476,3 +476,44 @@ def test_assembler_property_against_brute_force():
             rel = wn["left"][:, 2]
             assert (rel >= 0).all() and (rel < w + 1e-6).all()
         assert asm.late_dropped == 0
+
+
+def test_gone_silent_producer_still_yields_buffered_windows():
+    """A producer that stops sending (recv timeout) must not lose the
+    fully-buffered windows a stalled eye left behind."""
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    src = SocketSource(eyes=("left", "right"), window_s=0.05, timeout=1.0,
+                       _listen_sock=srv)
+    done = threading.Event()
+
+    def producer():
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            send_events(s, 0, _ev([0.00, 0.04, 0.06, 0.09, 0.12]))
+            # right eye silent; keep the connection open past the 1 s
+            # recv timeout so the server hits the gone-silent path
+            done.wait(timeout=5)
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    wins = list(src)
+    done.set()
+    t.join(timeout=10)
+    assert len(wins) == 3  # the tail drain emitted all buffered windows
+    assert sum(w["left"].shape[0] for w in wins) == 5
+    assert src.bad_packets == 1  # and the stall was counted
+
+
+def test_recv_depth_returns_none_on_midpacket_death():
+    """A server dying mid depth reply ends the driver's reader loop
+    cleanly (None), it does not crash it."""
+    from stereospike_tpu.sources import DEPTH_HEADER, DEPTH_MAGIC
+
+    a, b = socket.socketpair()
+    try:
+        a.sendall(DEPTH_HEADER.pack(DEPTH_MAGIC, 1, 1, 4, 4)
+                  + b"\x00" * 10)  # 10 of 64 body bytes, then death
+        a.close()
+        from stereospike_tpu.sources import recv_depth
+        assert recv_depth(b) is None
+    finally:
+        b.close()
