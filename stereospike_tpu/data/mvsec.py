@@ -358,6 +358,7 @@ def batches(
     binocular: bool = True,
     include_warmup: bool = False,
     n_timesteps: int = 1,
+    shard: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batch iterator emitting the framework's canonical training batches.
 
@@ -367,10 +368,23 @@ def batches(
     single-step layout), each step carrying
     C = eyes · (N_train/n_timesteps) · nfpdm · 2 channels ordered
     (eye, chunk, frame, polarity).
+
+    ``shard=(rank, world)``: the multi-HOST data contract — every host
+    shuffles the SAME seed-deterministic order, then takes the strided
+    slice ``order[rank::world]`` and truncates to the minimum per-rank
+    length, so all ranks run the same number of steps (a requirement for
+    lockstep collectives) over disjoint samples. ``batch_size`` is the
+    per-host batch.
     """
     order = np.arange(len(view))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    if shard is not None:
+        rank, world = shard
+        if not 0 <= rank < world:
+            raise ValueError(f"shard rank {rank} outside world {world}")
+        per_rank = len(order) // world  # min length → equal step counts
+        order = order[rank::world][:per_rank]
 
     n_train_chunks = view.sequences[0].n_train if len(view) else n_timesteps
     if n_train_chunks % n_timesteps:

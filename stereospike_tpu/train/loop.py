@@ -203,11 +203,23 @@ def _fetch_sums(stats, width: int = 2) -> np.ndarray:
     return np.asarray(jnp.sum(jnp.asarray(stats, jnp.float32), axis=0))
 
 
-def _batch_iter(cfg: TrainConfig, view, **kw):
+def _batch_iter(cfg: TrainConfig, view, shard_over_processes: bool = False,
+                **kw):
     """Dataset-dispatching batch iterator: MVSEC views take the canonical
     eye-stacked batcher, DENSE datasets their monocular one. ``kw``:
     shuffle/seed/drop_last only — the dataset-specific layout arguments
-    (binocular, n_timesteps, include_warmup) are derived from ``cfg``."""
+    (binocular, n_timesteps, include_warmup) are derived from ``cfg``.
+
+    ``shard_over_processes``: in a multi-HOST run each process takes its
+    disjoint stride of the seed-deterministic order (equal step counts —
+    required for lockstep collectives); batch_size stays per-host. Train
+    only: eval loops accumulate host-locally, so every host evaluates the
+    full set (redundant but correct without a cross-host reduction)."""
+    if shard_over_processes and jax.process_count() > 1:
+        if cfg.dataset == "dense":
+            raise NotImplementedError(
+                "multi-host data sharding is MVSEC-only for now")
+        kw["shard"] = (jax.process_index(), jax.process_count())
     if cfg.dataset == "dense":
         from stereospike_tpu.data.dense import dense_batches
 
@@ -410,8 +422,8 @@ def train_loop(
         # the fetch lets the host prep/upload the next batch while the chip
         # runs the current step; one stack+sum at epoch end fetches all.
         step_metrics = []
-        for batch in _batch_iter(cfg, train_view, shuffle=True,
-                                 seed=cfg.seed + epoch):
+        for batch in _batch_iter(cfg, train_view, shard_over_processes=True,
+                                 shuffle=True, seed=cfg.seed + epoch):
             state, metrics = train_step(state, prep(batch))
             step_metrics.append((metrics["loss"], metrics["mde"]))
             steps_done += 1
@@ -794,8 +806,8 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
         # async accumulation (see train_loop): metrics stay on device during
         # the epoch; a per-step float() would D2H-sync every step
         step_metrics = []
-        for batch in _batch_iter(cfg, train_view, shuffle=True,
-                                 seed=cfg.seed + epoch):
+        for batch in _batch_iter(cfg, train_view, shard_over_processes=True,
+                                 shuffle=True, seed=cfg.seed + epoch):
             state, metrics = train_step(state, prep(batch))
             step_metrics.append((metrics["loss"], metrics["mde"]))
             steps_done += 1

@@ -382,3 +382,30 @@ def test_streamed_loading_rejects_device_voxelize(mvsec_root):
     with pytest.raises(ValueError, match="event_block_rows"):
         load_sequence(root, "indoor_flying", "1", "1", tables=tables, hw=HW,
                       event_block_rows=1000, device_voxelize=True)
+
+
+def test_batches_shard_partitions_disjoint_and_equal(mvsec_root):
+    """Multi-host data contract: shards are disjoint, cover min-truncated
+    samples, and every rank sees the SAME number of batches."""
+    root, tables = mvsec_root
+    train, _, _ = load_mvsec(root, split="1", tables=tables, hw=HW)
+    world = 3
+    seen, counts = [], []
+    for rank in range(world):
+        gts = []
+        n = 0
+        for b in batches(train, 2, shuffle=True, seed=7,
+                         shard=(rank, world), drop_last=False):
+            gts.append(b["gt"])
+            n += b["gt"].shape[0]
+        counts.append(n)
+        seen.append(np.concatenate(gts) if gts else np.zeros((0,)))
+    assert len(set(counts)) == 1  # equal steps per rank
+    total = sum(counts)
+    assert total == (len(train) // world) * world
+    # disjointness: per-sample gt maps are unique in the fixture
+    flat = np.concatenate([s.reshape(s.shape[0], -1) for s in seen])
+    assert len(np.unique(flat.round(5), axis=0)) == total
+
+    with pytest.raises(ValueError, match="rank"):
+        next(batches(train, 2, shard=(3, 3)))
