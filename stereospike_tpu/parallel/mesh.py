@@ -76,10 +76,16 @@ def _state_shardings(mesh: Mesh):
 
 
 def make_sharded_train_step(step_fn, mesh: Mesh, spatial: bool = True,
-                            batch_keys: Tuple[str, ...] = ("chunks", "gt", "mask")):
+                            batch_keys: Tuple[str, ...] = ("chunks", "gt", "mask"),
+                            donate: bool = False):
     """jit ``step_fn(state, batch)`` over the mesh: params replicated, batch
     data(+spatial)-sharded. XLA emits the gradient all-reduce (psum over
-    'data') from the sharding annotations."""
+    'data') from the sharding annotations.
+
+    ``donate=True`` donates the input TrainState so params/optimizer buffers
+    update in place — for drivers that only ever thread the returned state
+    forward (the production loop). Callers that reuse one state across
+    several step functions (tests, the dryrun) must keep the default."""
     spec = batch_spec(spatial, keys=batch_keys)
     batch_sh = {k: NamedSharding(mesh, v) for k, v in spec.items()}
     state_sh = _state_shardings(mesh)
@@ -88,6 +94,7 @@ def make_sharded_train_step(step_fn, mesh: Mesh, spatial: bool = True,
         step_fn,
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, {"loss": metrics_sh, "mde": metrics_sh}),
+        donate_argnums=(0,) if donate else (),
     )
 
 

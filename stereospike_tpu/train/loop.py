@@ -364,11 +364,14 @@ def train_loop(
     eval_step_local = jax.jit(base_eval)
     if mesh is not None:
         train_step = make_sharded_train_step(train_step, mesh, spatial=spatial,
-                                             batch_keys=tuple(keep))
+                                             batch_keys=tuple(keep),
+                                             donate=True)
         eval_step_sharded = make_sharded_eval_step(base_eval, mesh,
                                                    spatial=spatial)
     else:
-        train_step = jax.jit(train_step)
+        # donate the TrainState: the loop only ever threads the returned
+        # state forward, so params/optimizer buffers update in place
+        train_step = jax.jit(train_step, donate_argnums=(0,))
         eval_step_sharded = None
 
     def eval_divisible(bsz: int) -> bool:
@@ -779,8 +782,10 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
         state = restore_checkpoint(cfg.checkpoint_dir, state)
 
+    # donate the state (the loop only threads the returned one forward)
     train_step = jax.jit(make_ann_train_step(ann_cfg, loss_cfg, tx,
-                                             learn_on=cfg.learn_on))
+                                             learn_on=cfg.learn_on),
+                         donate_argnums=(0,))
     eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
                                            learn_on=cfg.learn_on))
     aug = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig()))

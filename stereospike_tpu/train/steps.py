@@ -39,6 +39,17 @@ def _cast_tree(tree, dtype):
     )
 
 
+def _to_master(tree):
+    """Cast floating leaves UP to at least fp32 (bf16 activations/grads →
+    fp32 master precision) without truncating float64 — the x64
+    training-trajectory oracle needs the whole step exact in f64."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def per_sample_eval_stats(depths, spikes, gt, mask, loss_cfg: TotalLossConfig,
                           learn_on: str):
     """Per-sample loss/MDE means — the reference's batch_size=1 accumulation
@@ -99,8 +110,8 @@ def _loss_and_metrics(params, batch: Dict, model_cfg: StereoSpikeConfig,
             batch["init_pots"].astype(compute_dtype))
 
     depths, spikes, _ = fwd(chunks, state0)
-    depths = [d.astype(jnp.float32) for d in depths]
-    spikes = [s.astype(jnp.float32) for s in spikes]
+    depths = list(_to_master(depths))
+    spikes = list(_to_master(spikes))
     gt, mask = batch["gt"], batch["mask"]
     if per_sample:
         loss, mde = per_sample_eval_stats(depths, spikes, gt, mask, loss_cfg,
@@ -157,7 +168,7 @@ def make_train_step(
         if accum_steps == 1:
             (loss, (mde, _)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch)
-            return _cast_tree(grads, jnp.float32), loss, mde
+            return _to_master(grads), loss, mde
         b = batch["gt"].shape[0]
         if b % accum_steps:
             raise ValueError(
@@ -171,12 +182,15 @@ def make_train_step(
             acc_g, acc_l, acc_m = acc
             (l, (m, _)), g = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, mb)
-            g = _cast_tree(g, jnp.float32)
+            g = _to_master(g)
             return (jax.tree.map(jnp.add, acc_g, g),
-                    acc_l + l, acc_m + m), None
+                    acc_l + l.astype(acc_l.dtype),
+                    acc_m + m.astype(acc_m.dtype)), None
 
         zeros = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            lambda p: jnp.zeros(p.shape, jnp.promote_types(p.dtype,
+                                                           jnp.float32)),
+            params)
         (gsum, lsum, msum), _ = jax.lax.scan(
             body, (zeros, jnp.float32(0.0), jnp.float32(0.0)), micro)
         inv = 1.0 / accum_steps

@@ -54,8 +54,8 @@ def _torch_gm(pred, gt):
     mask = ~torch.isnan(gt)
     n = mask.sum()
     res = torch.where(mask, pred - gt, torch.zeros(()))
-    sx = torch.tensor([[1, 0, -1], [2, 0, -2], [1, 0, -1]], dtype=torch.float32).view(1, 1, 3, 3)
-    sy = torch.tensor([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], dtype=torch.float32).view(1, 1, 3, 3)
+    sx = torch.tensor([[1, 0, -1], [2, 0, -2], [1, 0, -1]], dtype=pred.dtype).view(1, 1, 3, 3)
+    sy = torch.tensor([[1, 2, 1], [0, 0, 0], [-1, -2, -1]], dtype=pred.dtype).view(1, 1, 3, 3)
     gx = F.conv2d(res, sx, padding=1) * mask
     gy = F.conv2d(res, sy, padding=1) * mask
     return (gx.abs()[mask] + gy.abs()[mask]).sum() / n
