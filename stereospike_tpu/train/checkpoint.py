@@ -48,10 +48,17 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, *, best: bool = False,
     ``meta_extra`` merges additional run facts into ``checkpoint_meta.json``
     (e.g. the steps_per_epoch the LR schedule was built with, so a resume
     with a different batch size keeps the original milestone positions).
+
+    Multi-host: only the lead process writes — the state is replicated, so
+    every other host would redundantly pull the full params+Adam pytree
+    through its device link and race identical bytes onto the shared
+    filesystem. Non-lead calls return the path without touching disk.
     """
+    path = os.path.join(ckpt_dir, LATEST)
+    if jax.process_index() != 0:
+        return path
     state = jax.device_get(state)
     data = serialization.to_bytes(state)
-    path = os.path.join(ckpt_dir, LATEST)
     _atomic_write(path, data)
     if best:
         _atomic_write(os.path.join(ckpt_dir, BEST), data)

@@ -259,8 +259,13 @@ def _viz_dir(cfg: TrainConfig) -> str:
 
 def _save_viz_panel(path: str, batch: Dict, depth, title: str) -> None:
     """Render the reference's 4-panel figure (train.py:234-235,
-    test.py:153-154) for sample 0 of a batch."""
+    test.py:153-154) for sample 0 of a batch. Lead-process-only, like all
+    shared-filesystem side effects (the batch slice is replicated)."""
+    from stereospike_tpu.utils.logging import is_lead_process
     from stereospike_tpu.viz import save_panel
+
+    if not is_lead_process():
+        return
 
     save_panel(path,
                np.asarray(batch["chunks"])[0, 0],

@@ -65,6 +65,37 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["step"] == 7
 
 
+def test_non_lead_process_writes_nothing(tmp_path, monkeypatch):
+    """Multi-host hygiene: checkpoint/log/viz side effects are lead-only —
+    state and metrics are replicated across hosts, so non-lead writes would
+    be redundant device_gets racing identical bytes onto a shared FS."""
+    from stereospike_tpu.utils.logging import MetricsLogger, is_lead_process
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert not is_lead_process()
+
+    d = str(tmp_path)
+    cfg = stereospike_tempo(in_hw=(48, 64))
+    state = create_train_state(init_params(jax.random.PRNGKey(0), cfg),
+                               make_optimizer(1e-3), jax.random.PRNGKey(1))
+    path = save_checkpoint(d, state, best=True)
+    assert path.endswith("latest.msgpack") and not os.path.exists(path)
+
+    logger = MetricsLogger(d, name="t")
+    logger.log({"x": 1.0})
+    logger.text("hello")
+    logger.close()
+    assert os.listdir(d) == []
+
+    # lead process (the default) still writes
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    save_checkpoint(d, state)
+    logger = MetricsLogger(d, name="t")
+    logger.log({"x": 1.0})
+    logger.close()
+    assert has_checkpoint(d) and os.path.exists(logger.jsonl_path)
+
+
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
     """One tiny synthetic training run shared by the driver tests."""
