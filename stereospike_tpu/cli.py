@@ -9,6 +9,8 @@ adapt them to your needs"; train.py:60-68) with subcommands over a
     firing-rates  per-layer spike-density profiling (calculate_firing_rates)
     bench         single-chip training-throughput benchmark
     stream        low-latency streaming serving (events in, depth maps out)
+    export-pth    checkpoint out as a reference torch .pth state dict
+    export-serving  serving step (weights baked) as a jax.export artifact
     doctor        environment diagnostics (device reachability with timeouts)
 
 ``--synthetic`` runs any command on a generated on-disk fixture — no MVSEC
@@ -91,6 +93,8 @@ def main(argv=None) -> int:
         ("bench", "measure training throughput"),
         ("stream", "streaming serving: events in, depth maps out"),
         ("export-pth", "export a checkpoint as a reference torch .pth"),
+        ("export-serving", "export the serving step (weights baked in) as a "
+                           "portable StableHLO artifact (.ssx)"),
         ("doctor", "probe the environment: device, tunnel, cache, native ops"),
     ]:
         p = sub.add_parser(name, help=helptext)
@@ -111,6 +115,20 @@ def main(argv=None) -> int:
                            help="output .pth path")
             p.add_argument("--which", type=str, default="best.msgpack",
                            help="checkpoint file to export")
+        if name == "export-serving":
+            p.add_argument("--out", type=str, required=True,
+                           help="output .ssx artifact path")
+            p.add_argument("--which", type=str, default="best.msgpack",
+                           help="checkpoint file to export")
+            p.add_argument("--platforms", type=str, default=None,
+                           help="comma-separated lowering targets (e.g. "
+                                "cpu,tpu); default = current backend")
+            p.add_argument("--block", type=int, default=1 << 16,
+                           help="events per eye per window (pad/truncate)")
+            p.add_argument("--n-streams", type=int, default=1,
+                           help="cameras served per batched step")
+            p.add_argument("--window-s", type=float, default=0.05,
+                           help="binning window the step is built for")
         if name == "doctor":
             p.add_argument("--device-timeout", type=float, default=240.0,
                            help="seconds before declaring the accelerator "
@@ -220,6 +238,48 @@ def main(argv=None) -> int:
             sd = params_to_torch_state_dict(params)
         torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, args.out)
         print(json.dumps({"exported": args.out, "n_tensors": len(sd)}))
+    elif args.command == "export-serving":
+        # the jitted serving step (voxelize → stateful forward, weights
+        # baked as constants) as a self-contained jax.export artifact a
+        # consumer runs with ONLY jax installed (deploy.py)
+        from stereospike_tpu.deploy import export_serving_artifact
+        from stereospike_tpu.streaming import StreamingEvaluator
+        from stereospike_tpu.train.checkpoint import has_checkpoint
+        from stereospike_tpu.train.loop import (
+            _compute_dtype,
+            _load_params,
+            build_model_config,
+            is_ann_model,
+        )
+
+        if is_ann_model(cfg.model):
+            raise ValueError("serving artifacts wrap the stateful SNN "
+                             "models; ANN checkpoints export via export-pth")
+        if not (cfg.import_pth
+                or has_checkpoint(cfg.checkpoint_dir, args.which)):
+            raise FileNotFoundError(
+                f"no checkpoint {args.which!r} in {cfg.checkpoint_dir!r} "
+                "and no --import-pth; refusing to export fresh "
+                "random-init weights")
+        model_cfg = build_model_config(cfg)
+        params = _load_params(cfg, model_cfg, args.which)
+        eyes = (("left",) if cfg.model == "stereospike_monocular"
+                else ("left", "right"))
+        evaluator = StreamingEvaluator(
+            params, model_cfg, eyes=eyes, nfpdm=cfg.nfpdm,
+            window=args.window_s, block=args.block,
+            n_streams=args.n_streams, compute_dtype=_compute_dtype(cfg))
+        platforms = (tuple(args.platforms.split(","))
+                     if args.platforms else None)
+        manifest = export_serving_artifact(
+            evaluator, args.out, platforms=platforms,
+            extra_meta={"model": cfg.model})
+        print(json.dumps({
+            "exported": args.out,
+            "bytes": os.path.getsize(args.out),
+            **{k: manifest[k]
+               for k in ("platforms", "eyes", "block", "n_streams")},
+        }))
     elif args.command == "doctor":
         from stereospike_tpu.doctor import run_doctor
 
