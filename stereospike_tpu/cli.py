@@ -11,6 +11,7 @@ adapt them to your needs"; train.py:60-68) with subcommands over a
     stream        low-latency streaming serving (events in, depth maps out)
     export-pth    checkpoint out as a reference torch .pth state dict
     export-serving  serving step (weights baked) as a jax.export artifact
+    plot          training curves (loss/MDE/lr/firing rates) from the JSONL
     doctor        environment diagnostics (device reachability with timeouts)
 
 ``--synthetic`` runs any command on a generated on-disk fixture — no MVSEC
@@ -95,6 +96,7 @@ def main(argv=None) -> int:
         ("export-pth", "export a checkpoint as a reference torch .pth"),
         ("export-serving", "export the serving step (weights baked in) as a "
                            "portable StableHLO artifact (.ssx)"),
+        ("plot", "render training curves from a run's JSONL metrics"),
         ("doctor", "probe the environment: device, tunnel, cache, native ops"),
     ]:
         p = sub.add_parser(name, help=helptext)
@@ -129,6 +131,13 @@ def main(argv=None) -> int:
                            help="cameras served per batched step")
             p.add_argument("--window-s", type=float, default=0.05,
                            help="binning window the step is built for")
+        if name == "plot":
+            p.add_argument("--out", type=str, default=None,
+                           help="output PNG (default <checkpoint-dir>/"
+                                "training_curves.png)")
+            p.add_argument("--name", type=str, default="training",
+                           help="which JSONL to plot (<name>_metrics.jsonl)")
+            p.add_argument("--title", type=str, default=None)
         if name == "doctor":
             p.add_argument("--device-timeout", type=float, default=240.0,
                            help="seconds before declaring the accelerator "
@@ -280,6 +289,14 @@ def main(argv=None) -> int:
             **{k: manifest[k]
                for k in ("platforms", "eyes", "block", "n_streams")},
         }))
+    elif args.command == "plot":
+        from stereospike_tpu.plots import plot_training
+
+        jsonl = os.path.join(cfg.checkpoint_dir,
+                             f"{args.name}_metrics.jsonl")
+        out = args.out or os.path.join(cfg.checkpoint_dir,
+                                       "training_curves.png")
+        print(json.dumps(plot_training(jsonl, out, title=args.title)))
     elif args.command == "doctor":
         from stereospike_tpu.doctor import run_doctor
 

@@ -415,7 +415,11 @@ def train_loop(
             batch = shard_batch(batch, mesh, spatial=spatial)
         return batch
 
-    aug_key = jax.random.fold_in(rng, 1234)
+    # fold in the process index: multi-host DP gives each host DIFFERENT
+    # samples, so identical per-host key streams would correlate the
+    # augmentation draws across the global batch
+    aug_key = jax.random.fold_in(jax.random.fold_in(rng, 1234),
+                                 jax.process_index())
     start_epoch = int(state.epoch)
     done = False
     summary: Dict = {}
@@ -794,7 +798,8 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
                                            learn_on=cfg.learn_on))
     aug = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig()))
-    aug_key = jax.random.PRNGKey(cfg.seed + 777)
+    aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 777),
+                                 jax.process_index())  # see train_loop
 
     logger = MetricsLogger(cfg.checkpoint_dir)
     logger.text(f"model={cfg.model} (ANN {ann_cfg.activation}) "

@@ -65,6 +65,28 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["step"] == 7
 
 
+def test_cli_plot_training_curves(trained):
+    """cli plot: the JSONL metrics render to the monitoring PNG (loss/MDE/
+    lr/firing-rate panels; the fixture logs fr_ taps every epoch)."""
+    from stereospike_tpu.cli import main
+    from stereospike_tpu.plots import plot_training
+
+    cfg, _ = trained
+    out = os.path.join(cfg.checkpoint_dir, "curves.png")
+    assert main(["plot", "--checkpoint-dir", cfg.checkpoint_dir,
+                 "--out", out]) == 0
+    assert os.path.getsize(out) > 10_000
+    summary = plot_training(
+        os.path.join(cfg.checkpoint_dir, "training_metrics.jsonl"), out)
+    assert summary["epochs"] == 2 and summary["firing_rates"]
+    assert "best_val_MDE" in summary
+
+    with pytest.raises(ValueError, match="no per-epoch"):
+        empty = os.path.join(cfg.checkpoint_dir, "empty.jsonl")
+        open(empty, "w").close()
+        plot_training(empty, out)
+
+
 def test_non_lead_process_writes_nothing(tmp_path, monkeypatch):
     """Multi-host hygiene: checkpoint/log/viz side effects are lead-only —
     state and metrics are replicated across hosts, so non-lead writes would
