@@ -69,6 +69,19 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                        default=None, metavar=metavar)
 
 
+def _require_exportable_weights(cfg: TrainConfig, which: str) -> None:
+    """Shared guard for the export commands: ``_load_params`` falls back to
+    fresh init when no checkpoint exists (fine for train warm-starts);
+    exporting untrained random weights as a valid-looking artifact is not —
+    a typo'd --checkpoint-dir must fail loudly."""
+    from stereospike_tpu.train.checkpoint import has_checkpoint
+
+    if not (cfg.import_pth or has_checkpoint(cfg.checkpoint_dir, which)):
+        raise FileNotFoundError(
+            f"no checkpoint {which!r} in {cfg.checkpoint_dir!r} and no "
+            "--import-pth; refusing to export fresh random-init weights")
+
+
 def _build_config(args: argparse.Namespace) -> TrainConfig:
     if args.config:
         with open(args.config) as f:
@@ -230,19 +243,9 @@ def main(argv=None) -> int:
                                                 restored["bn_state"])
         else:
             from stereospike_tpu.interop import params_to_torch_state_dict
-            from stereospike_tpu.train.checkpoint import has_checkpoint
             from stereospike_tpu.train.loop import _load_params
 
-            # _load_params falls back to fresh init when no checkpoint
-            # exists (fine for train warm-starts); exporting untrained
-            # random weights as a valid-looking .pth is not — a typo'd
-            # --checkpoint-dir must fail loudly here
-            if not (cfg.import_pth
-                    or has_checkpoint(cfg.checkpoint_dir, args.which)):
-                raise FileNotFoundError(
-                    f"no checkpoint {args.which!r} in {cfg.checkpoint_dir!r} "
-                    "and no --import-pth; refusing to export fresh "
-                    "random-init weights")
+            _require_exportable_weights(cfg, args.which)
             params = _load_params(cfg, build_model_config(cfg), args.which)
             sd = params_to_torch_state_dict(params)
         torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, args.out)
@@ -253,7 +256,6 @@ def main(argv=None) -> int:
         # consumer runs with ONLY jax installed (deploy.py)
         from stereospike_tpu.deploy import export_serving_artifact
         from stereospike_tpu.streaming import StreamingEvaluator
-        from stereospike_tpu.train.checkpoint import has_checkpoint
         from stereospike_tpu.train.loop import (
             _compute_dtype,
             _load_params,
@@ -264,12 +266,7 @@ def main(argv=None) -> int:
         if is_ann_model(cfg.model):
             raise ValueError("serving artifacts wrap the stateful SNN "
                              "models; ANN checkpoints export via export-pth")
-        if not (cfg.import_pth
-                or has_checkpoint(cfg.checkpoint_dir, args.which)):
-            raise FileNotFoundError(
-                f"no checkpoint {args.which!r} in {cfg.checkpoint_dir!r} "
-                "and no --import-pth; refusing to export fresh "
-                "random-init weights")
+        _require_exportable_weights(cfg, args.which)
         model_cfg = build_model_config(cfg)
         params = _load_params(cfg, model_cfg, args.which)
         eyes = (("left",) if cfg.model == "stereospike_monocular"
@@ -278,7 +275,8 @@ def main(argv=None) -> int:
             params, model_cfg, eyes=eyes, nfpdm=cfg.nfpdm,
             window=args.window_s, block=args.block,
             n_streams=args.n_streams, compute_dtype=_compute_dtype(cfg))
-        platforms = (tuple(args.platforms.split(","))
+        platforms = (tuple(s.strip() for s in args.platforms.split(",")
+                           if s.strip())
                      if args.platforms else None)
         manifest = export_serving_artifact(
             evaluator, args.out, platforms=platforms,

@@ -25,6 +25,7 @@ CLI: ``python -m stereospike_tpu.cli export-serving --out model.ssx``.
 from __future__ import annotations
 
 import json
+import os
 import zipfile
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -89,6 +90,8 @@ def export_serving_artifact(evaluator, path: str, *,
         },
         **(extra_meta or {}),
     }
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as z:
         z.writestr(MANIFEST, json.dumps(manifest, indent=2))
         z.writestr(STEP_BIN, exp_step.serialize())

@@ -266,6 +266,13 @@ def _save_viz_panel(path: str, batch: Dict, depth, title: str) -> None:
 
     if not is_lead_process():
         return
+    if getattr(depth, "is_fully_addressable", True) is False:
+        # multi-host sharded eval output: sample 0's shard may live on
+        # another host's devices, and np.asarray on a non-addressable
+        # array raises. Depth panels are a convenience — skip rather
+        # than pay a cross-host gather inside the epoch loop.
+        warnings.warn("save_viz skipped: depth is sharded across hosts")
+        return
 
     save_panel(path,
                np.asarray(batch["chunks"])[0, 0],

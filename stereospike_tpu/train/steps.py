@@ -191,8 +191,15 @@ def make_train_step(
             lambda p: jnp.zeros(p.shape, jnp.promote_types(p.dtype,
                                                            jnp.float32)),
             params)
+        # metric carries in master precision too (an f32 init would round
+        # the x64 trajectory oracle's f64 per-step losses): the loss dtype
+        # is promote(gt, master-cast depths)
+        mdtype = jnp.promote_types(
+            jnp.promote_types(jnp.result_type(batch["gt"]), compute_dtype),
+            jnp.float32)
         (gsum, lsum, msum), _ = jax.lax.scan(
-            body, (zeros, jnp.float32(0.0), jnp.float32(0.0)), micro)
+            body, (zeros, jnp.zeros((), mdtype), jnp.zeros((), mdtype)),
+            micro)
         inv = 1.0 / accum_steps
         return (jax.tree.map(lambda g: g * inv, gsum),
                 lsum * inv, msum * inv)

@@ -143,10 +143,12 @@ def test_cli_export_serving(tmp_path):
     common = ["--synthetic", "--in-hw", "48,64", "--batch-size", "2",
               "--model", "stereospike_tempo", "--checkpoint-dir", ckpt]
     assert main(["train", "--max-steps", "2", "--epochs", "1"] + common) == 0
-    out = str(tmp_path / "m.ssx")
-    assert main(["export-serving", "--out", out, "--block", "256"]
-                + common) == 0
+    out = str(tmp_path / "sub" / "m.ssx")  # parent dir created by exporter
+    # sloppy --platforms ("cpu, " with space + trailing comma) still parses
+    assert main(["export-serving", "--out", out, "--block", "256",
+                 "--platforms", "cpu, "] + common) == 0
     art = load_serving_artifact(out)
+    assert art.meta["platforms"] == ["cpu"]
     assert art.meta["model"] == "stereospike_tempo"
     assert art.meta["in_hw"] == [48, 64]
     rng = np.random.default_rng(4)

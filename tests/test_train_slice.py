@@ -229,6 +229,32 @@ def test_grad_accumulation_matches_mean_of_microbatch_grads():
                                rtol=1e-5)
 
 
+def test_grad_accumulation_metrics_keep_master_precision():
+    """At x64 the accumulation scan must carry loss/MDE in f64, not round
+    them through an f32 init — the trajectory oracle's whole-step-exact
+    contract (steps.py::_to_master) also holds at accum_steps > 1."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg, tx, state, batch = _setup(batch=4)
+        to64 = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        state = state._replace(params=to64(state.params),
+                               opt_state=jax.tree.map(
+                                   lambda x: x.astype(jnp.float64)
+                                   if jnp.issubdtype(x.dtype, jnp.floating)
+                                   else x, state.opt_state))
+        batch = to64(batch)
+        step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx,
+                                       compute_dtype=jnp.float64,
+                                       accum_steps=2))
+        _, metrics = step(state, batch)
+        assert metrics["loss"].dtype == jnp.float64
+        assert metrics["mde"].dtype == jnp.float64
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 def test_grad_accumulation_rejects_indivisible_batch():
     import pytest
 
