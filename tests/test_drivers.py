@@ -65,6 +65,40 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["step"] == 7
 
 
+def test_cli_sweep_table3(tmp_path):
+    """cli sweep: the paper's Table-3 skip ablation trains + evaluates both
+    variants and writes the comparison JSON/markdown."""
+    from stereospike_tpu.cli import main
+
+    base = str(tmp_path / "sweep")
+    assert main(["sweep", "--table", "table3", "--synthetic",
+                 "--max-steps", "1", "--epochs", "1", "--in-hw", "48,64",
+                 "--batch-size", "2", "--checkpoint-dir", base]) == 0
+    rec = json.load(open(os.path.join(base, "sweep_table3.json")))
+    assert [r["name"] for r in rec["rows"]] == ["with_skips", "no_skips"]
+    assert all(np.isfinite(r["test_MDE"]) for r in rec["rows"])
+    md = open(os.path.join(base, "sweep_table3.md")).read()
+    assert "no_skips" in md and "test_MDE" in md
+    # each variant kept its own checkpoints
+    assert has_checkpoint(os.path.join(base, "with_skips"))
+    assert has_checkpoint(os.path.join(base, "no_skips"))
+
+
+def test_heads_subset_config(tmp_path):
+    """Paper Table-2 head subsets are a config knob: heads=(1,) trains and
+    returns one depth; invalid subsets are rejected."""
+    from stereospike_tpu.train.loop import build_model_config, train_loop
+
+    cfg = _tiny_cfg(str(tmp_path), heads=(1, 2), epochs=1)
+    assert build_model_config(cfg).heads == (1, 2)
+    summary = train_loop(cfg, synthetic=True, max_steps=1)
+    assert np.isfinite(summary["train_loss"])
+
+    for bad in ((2, 3), (0, 1), (1, 5)):
+        with pytest.raises(ValueError, match="heads"):
+            build_model_config(dataclasses.replace(cfg, heads=bad))
+
+
 def test_cli_plot_training_curves(trained):
     """cli plot: the JSONL metrics render to the monitoring PNG (loss/MDE/
     lr/firing-rate panels; the fixture logs fr_ taps every epoch)."""
