@@ -55,6 +55,24 @@ def _np_depth_to_disparity(depth: np.ndarray) -> np.ndarray:
     return 7.0 * 19.941772 / (depth + 1e-15)
 
 
+def _pack_frames(d: np.ndarray) -> np.ndarray:
+    """Event-count frames as uint8. Counts per (pixel, polarity, 50/nfpdm ms)
+    bin are tiny, so byte storage is exact while cutting host RAM and the
+    per-step H2D upload 4× vs float32 (the train/eval steps cast to the
+    compute dtype on device, steps.py::_loss_and_metrics). A cell needing
+    >255 counts (a >5 kHz single-pixel single-polarity burst) would require
+    pathological input; guarded by clip + warning rather than assumed."""
+    d = np.asarray(d)
+    hi = float(d.max()) if d.size else 0.0
+    if hi > 255.0:
+        import warnings
+
+        warnings.warn(f"event-count frame saturates uint8 (max count {hi:.0f}"
+                      "); clipping — pass pack_uint8=False for exact floats")
+        d = np.minimum(d, 255.0)
+    return d.astype(np.uint8)
+
+
 @dataclasses.dataclass
 class MvsecSequence:
     """One preprocessed indoor_flying sequence.
@@ -140,6 +158,7 @@ def load_sequence(
     hw: Tuple[int, int] = (FRAME_H, FRAME_W),
     device_voxelize: bool = False,
     event_block_rows: Optional[int] = None,
+    pack_uint8: bool = True,
 ) -> MvsecSequence:
     """Load + preprocess one MVSEC sequence from the on-disk hdf5 layout
     (``<root>/<scenario>/<scenario><seq>_{data,gt}.hdf5`` +
@@ -225,6 +244,8 @@ def load_sequence(
                 nz = d > 0
                 m, s = d[nz].mean(), d[nz].std()
                 d[nz] = (d[nz] - m) / s
+        elif pack_uint8:
+            data_l, data_r = _pack_frames(data_l), _pack_frames(data_r)
         return MvsecSequence(
             data_left=data_l, data_right=data_r,
             labels=labels[..., None], masks=masks[..., None],
@@ -267,11 +288,14 @@ def load_sequence(
             x_map=maps["right"][0], y_map=maps["right"][1],
             height=hw[0], width=hw[1]).reshape(shape)
 
+    data_l, data_r = np.asarray(data_l), np.asarray(data_r)
     if normalize:  # nonzero-normalization (mvsec_dataset.py:183-192)
         for d in (data_l, data_r):
             nz = d > 0
             m, s = d[nz].mean(), d[nz].std()
             d[nz] = (d[nz] - m) / s
+    elif pack_uint8:
+        data_l, data_r = _pack_frames(data_l), _pack_frames(data_r)
 
     return MvsecSequence(
         data_left=data_l, data_right=data_r,
@@ -309,15 +333,19 @@ def load_mvsec(
     tables: Optional[Dict] = None,
     hw: Tuple[int, int] = (FRAME_H, FRAME_W),
     event_block_rows: Optional[int] = None,
+    pack_uint8: bool = True,
 ):
     """Assemble (train, val, test) views per the Tulyakov split protocol
     (load_MVSEC, mvsec_dataset.py:14-73). ``event_block_rows`` bounds the
-    build's event memory (streamed hdf5 blocks through the C++ binner)."""
+    build's event memory (streamed hdf5 blocks through the C++ binner);
+    ``pack_uint8`` stores the count frames as bytes (exact, 4× less RAM
+    and H2D — see ``_pack_frames``)."""
     tables = load_split_tables() if tables is None else tables
     info = tables["splits"][split]
     kw = dict(nfpdm=nfpdm, warmup_chunks=warmup_chunks,
               train_chunks=train_chunks, learn_on=learn_on, normalize=normalize,
-              tables=tables, hw=hw, event_block_rows=event_block_rows)
+              tables=tables, hw=hw, event_block_rows=event_block_rows,
+              pack_uint8=pack_uint8)
 
     valtest = load_sequence(root, scenario, split, info["valtest_sequence"], **kw)
 
@@ -417,7 +445,9 @@ def batches(
                 eyes.append(stack_eye(smp["chunks_right"]))
             frames.append(np.concatenate(eyes, axis=-1))
         batch = {
-            "chunks": np.stack(frames).astype(np.float32),
+            # keep the stored frame dtype: uint8-packed builds upload 4×
+            # fewer bytes; the jitted steps cast to compute dtype on device
+            "chunks": np.stack(frames),
             "gt": np.stack([smp["gt"] for smp in samples]).astype(np.float32),
             "mask": np.stack([smp["mask"] for smp in samples]),
             "init_pots": np.stack(
@@ -433,5 +463,5 @@ def batches(
                 if binocular:
                     eyes.append(stack_eye(smp["warmup_right"]))
                 warm.append(np.concatenate(eyes, axis=-1))
-            batch["warmup"] = np.stack(warm).astype(np.float32)
+            batch["warmup"] = np.stack(warm)
         yield batch

@@ -425,6 +425,8 @@ def firing_rates_sequence(params: Dict, frames: Array, cfg: StereoSpikeConfig,
     temporal execution the framework trains with, instead of silently
     measuring only step 0."""
     B, T = frames.shape[:2]
+    if not jnp.issubdtype(frames.dtype, jnp.floating):
+        frames = frames.astype(jnp.float32)  # uint8-packed count frames
     if state is None:
         state = init_state(cfg, B, frames.dtype)
 

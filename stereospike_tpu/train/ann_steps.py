@@ -42,7 +42,8 @@ def make_ann_train_step(cfg: AnnConfig, loss_cfg: TotalLossConfig,
     """``step(state, batch) -> (state, metrics)``; updates BN stats."""
 
     def step(state: AnnTrainState, batch: Dict):
-        frame = batch["chunks"][:, 0]
+        # count frames may arrive uint8-packed (data/mvsec.py::_pack_frames)
+        frame = batch["chunks"][:, 0].astype(jnp.float32)
 
         def loss_fn(params):
             depths, new_bn = ann_forward(params, frame, cfg, state.bn_state,
@@ -72,8 +73,9 @@ def make_ann_eval_step(cfg: AnnConfig, loss_cfg: TotalLossConfig, *,
     from stereospike_tpu.train.steps import per_sample_eval_stats
 
     def step(params: Dict, bn_state: Dict, batch: Dict):
-        depths, _ = ann_forward(params, batch["chunks"][:, 0], cfg, bn_state,
-                                train=False)
+        depths, _ = ann_forward(params,
+                                batch["chunks"][:, 0].astype(jnp.float32),
+                                cfg, bn_state, train=False)
         loss, mde = per_sample_eval_stats(depths, None, batch["gt"],
                                           batch["mask"], loss_cfg, learn_on)
         return {"loss": loss, "mde": mde, "depth": depths[0]}

@@ -110,6 +110,40 @@ def test_batches_canonical_layout(mvsec_root):
                                   smp["chunks_right"][0, 0])
 
 
+def test_uint8_frame_packing_exact_and_trains(mvsec_root):
+    """pack_uint8 (the default) stores count frames as bytes: exact vs the
+    float32 build, 4× smaller, and the whole train/eval/firing-rate path
+    consumes it (device casts happen inside the jitted steps)."""
+    from stereospike_tpu.models import (
+        firing_rates_sequence,
+        init_params,
+        stereospike_tempo,
+    )
+
+    root, tables = mvsec_root
+    _, val8, _ = load_mvsec(root, split="1", tables=tables, hw=HW)
+    _, val32, _ = load_mvsec(root, split="1", tables=tables, hw=HW,
+                             pack_uint8=False)
+    s8, s32 = val8.sequences[0], val32.sequences[0]
+    assert s8.data_left.dtype == np.uint8 and s32.data_left.dtype == np.float32
+    np.testing.assert_array_equal(s8.data_left.astype(np.float32),
+                                  s32.data_left)
+    np.testing.assert_array_equal(s8.data_right.astype(np.float32),
+                                  s32.data_right)
+
+    batch = next(batches(val8, 2, include_warmup=True))
+    assert batch["chunks"].dtype == np.uint8
+    cfg = stereospike_tempo(in_hw=HW)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    taps = firing_rates_sequence(params, jnp.asarray(batch["chunks"]), cfg)
+    assert all(np.isfinite(float(v)) for v in taps.values())
+
+    # normalize=True needs floats: packing is skipped automatically
+    _, valn, _ = load_mvsec(root, split="1", tables=tables, hw=HW,
+                            normalize=True)
+    assert valn.sequences[0].data_left.dtype == np.float32
+
+
 def test_batches_feed_train_step(mvsec_root):
     """Disk fixture → loader → model train step end-to-end."""
     from stereospike_tpu.models import init_params, stereospike_tempo
