@@ -184,6 +184,10 @@ def main(argv=None) -> int:
             p.add_argument("--reply", action="store_true",
                            help="send depth maps back to the --listen "
                                 "producer over the same connection")
+            p.add_argument("--artifact", type=str, default=None,
+                           help="serve from an exported .ssx deployment "
+                                "artifact (export-serving) instead of "
+                                "live params")
         _add_config_flags(p)
 
     args = parser.parse_args(argv)
@@ -326,7 +330,8 @@ def main(argv=None) -> int:
             cfg, synthetic=args.synthetic, events_dir=args.events_dir,
             n_windows=args.n_windows, pipeline=args.pipeline,
             save_video=args.save_video, aer_format=args.aer_format,
-            listen=args.listen, reply=args.reply)))
+            listen=args.listen, reply=args.reply,
+            artifact=args.artifact)))
     return 0
 
 

@@ -179,7 +179,11 @@ class StreamingEvaluator:
             if maps and e in maps else None
             for e in eyes
         }
-        self._state = init_state(cfg, self.n_streams, self._state_dtype)
+        # state construction is a closure so the artifact-backed evaluator
+        # (from_artifact) can substitute the exported zero-state initializer
+        self._init_state = lambda: init_state(cfg, self.n_streams,
+                                              self._state_dtype)
+        self._state = self._init_state()
         h, w = cfg.in_hw
         dt = window / nfpdm
 
@@ -226,9 +230,50 @@ class StreamingEvaluator:
 
         self._step = jax.jit(step)
 
+    @classmethod
+    def from_artifact(cls, path: str, *, buffer_capacity: int = 1 << 20,
+                      pipeline: int = 0,
+                      reset_each_window: bool = True) -> "StreamingEvaluator":
+        """Serve from an exported ``.ssx`` artifact (:mod:`deploy`) instead
+        of live params: the whole compute step — rectification, voxelizer,
+        stateful forward, weights — comes from the artifact's serialized
+        StableHLO, while this class supplies the runtime plumbing (ring
+        buffers, padding, pipelining, drop accounting). The deployment
+        config: no model/checkpoint code on the serving host."""
+        from stereospike_tpu.deploy import load_serving_artifact
+
+        art = load_serving_artifact(path)
+        m = art.meta
+        self = cls.__new__(cls)
+        self.cfg = None  # geometry comes from the manifest
+        self.artifact = art
+        self._compute_dtype = None
+        self._state_dtype = None
+        self.params = None
+        self.eyes = tuple(m["eyes"])
+        self.nfpdm = int(m["nfpdm"])
+        self.window = float(m["window_s"])
+        self.block = int(m["block"])
+        self.reset_each_window = reset_each_window
+        self.pipeline = int(pipeline)
+        self.n_streams = int(m["n_streams"])
+        self._host_binning_dropped = 0
+        self._drop_acc = None
+        self._pending = collections.deque()
+        self.stream_buffers = [
+            {e: EventRingBuffer(buffer_capacity) for e in self.eyes}
+            for _ in range(self.n_streams)
+        ]
+        self.buffers = self.stream_buffers[0]
+        self._maps = {e: None for e in self.eyes}  # baked into the artifact
+        self._init_state = art.init_state
+        self._state = art.init_state()
+        self._step = lambda params, state, evs, valids: art.step(
+            state, evs, valids)
+        return self
+
     def reset(self) -> None:
-        self._state = init_state(self.cfg, self.n_streams,
-                                 self._state_dtype)
+        self._state = self._init_state()
         self._pending.clear()
 
     def _pad(self, ev: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -301,7 +346,7 @@ class StreamingEvaluator:
                 per_stream_valid.append(valid)
             evs[e] = jnp.asarray(np.stack(per_stream_ev))       # [S, block, 4]
             valids[e] = jnp.asarray(np.stack(per_stream_valid))  # [S, block]
-        state = (init_state(self.cfg, self.n_streams, self._state_dtype)
+        state = (self._init_state()
                  if self.reset_each_window else self._state)
         depth, self._state, dropped = self._step(self.params, state, evs,
                                                  valids)

@@ -628,7 +628,7 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 pipeline: int = 1, events_per_window: int = 20000,
                 save_video: Optional[str] = None, aer_format: str = "TXYP",
                 listen: Optional[str] = None, source=None,
-                reply: bool = False,
+                reply: bool = False, artifact: Optional[str] = None,
                 which: str = "best.msgpack") -> Dict:
     """Streaming-serving driver: feed event windows through the
     :class:`~stereospike_tpu.streaming.StreamingEvaluator` (the low-latency
@@ -640,19 +640,31 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
     ``"port"``) to accept a live SPKE-protocol TCP event feed; or an
     explicit ``source`` iterable of per-eye window dicts. Writes per-window
     latencies to JSONL and optionally a depth-map mp4.
+
+    ``artifact``: serve from an exported ``.ssx`` deployment artifact
+    (``cli export-serving``) instead of live params — geometry (eyes,
+    window, block, n_streams) comes from its manifest and the compute step
+    from its serialized StableHLO; ``cfg.model``/checkpoints are ignored.
     """
-    if is_ann_model(cfg.model):
-        raise ValueError("streaming serves the stateful SNN models")
     from stereospike_tpu import sources as src
     from stereospike_tpu.streaming import StreamingEvaluator
 
-    model_cfg = build_model_config(cfg)
-    binocular = cfg.model != "stereospike_monocular"
-    params = _load_params(cfg, model_cfg, which)
+    evaluator = None
+    if artifact is not None:
+        evaluator = StreamingEvaluator.from_artifact(
+            artifact, pipeline=pipeline, reset_each_window=False)
+        eyes = evaluator.eyes
+        binocular = len(eyes) > 1
+    else:
+        if is_ann_model(cfg.model):
+            raise ValueError("streaming serves the stateful SNN models")
+        model_cfg = build_model_config(cfg)
+        binocular = cfg.model != "stereospike_monocular"
+        params = _load_params(cfg, model_cfg, which)
+        eyes = ("left", "right") if binocular else ("left",)
 
-    eyes = ("left", "right") if binocular else ("left",)
-
-    window_s = 0.05  # the MVSEC 20 Hz cadence (utils.py:6-11)
+    # the MVSEC 20 Hz cadence (utils.py:6-11); an artifact's baked grid wins
+    window_s = evaluator.window if evaluator is not None else 0.05
     max_windows = None  # set by the --listen branch (unbounded elsewhere)
     if source is not None:
         window_s = float(getattr(source, "window_s", window_s))
@@ -683,15 +695,25 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         if not synthetic:
             raise ValueError(
                 "need --synthetic, an events_dir, or a --listen source")
+        hw_eff = (tuple(evaluator.artifact.meta["in_hw"])
+                  if evaluator is not None else tuple(cfg.in_hw))
         source = src.SyntheticSource(
-            hw=tuple(cfg.in_hw), eyes=eyes, n_windows=n_windows,
+            hw=hw_eff, eyes=eyes, n_windows=n_windows,
             events_per_window=events_per_window, window_s=window_s,
             seed=cfg.seed)
 
-    evaluator = StreamingEvaluator(
-        params, model_cfg, eyes=eyes, nfpdm=cfg.nfpdm, window=window_s,
-        reset_each_window=False, pipeline=pipeline,
-        compute_dtype=_compute_dtype(cfg))
+    if evaluator is None:
+        evaluator = StreamingEvaluator(
+            params, model_cfg, eyes=eyes, nfpdm=cfg.nfpdm, window=window_s,
+            reset_each_window=False, pipeline=pipeline,
+            compute_dtype=_compute_dtype(cfg))
+    elif abs(window_s - evaluator.window) > 0.1 * evaluator.window:
+        # the artifact's bin grid (window/nfpdm) is baked into its step:
+        # replaying a source with a different cadence mis-bins the tail
+        warnings.warn(
+            f"source window {window_s * 1e3:.1f} ms differs from the "
+            f"artifact's baked {evaluator.window * 1e3:.1f} ms grid; "
+            "events past the grid land in the dump bin (binned_out_events)")
 
     # ``reply``: send each depth map back to a connected SPKE producer
     # (sources.SocketSource.reply / recv_depth) — events in, depths out

@@ -120,6 +120,46 @@ def test_multiplatform_export_runs_on_cpu(tmp_path):
     assert np.isfinite(np.asarray(depth)).all()
 
 
+def test_from_artifact_evaluator_matches_live(tmp_path):
+    """StreamingEvaluator.from_artifact: the artifact-backed evaluator's
+    push() (ring buffers + padding + the exported step) returns the same
+    depths as the live evaluator on identical windows."""
+    ev = _make_evaluator()
+    path = str(tmp_path / "s.ssx")
+    export_serving_artifact(ev, path)
+    from stereospike_tpu.streaming import StreamingEvaluator
+
+    ev2 = StreamingEvaluator.from_artifact(path)
+    assert ev2.block == ev.block and ev2.eyes == ev.eyes
+    rng = np.random.default_rng(5)
+    for _ in range(2):
+        win = {}
+        for e in ev.eyes:
+            evts, _ = _events(rng, 1, 64, n=50)
+            win[e] = evts[0, :50]
+        d1 = ev.push(dict(win))
+        d2 = ev2.push(dict(win))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    ev2.reset()  # the exported zero-state initializer backs reset()
+
+
+def test_stream_loop_serves_from_artifact(tmp_path):
+    """cli stream --artifact: the deployment artifact drives the full
+    serving loop (source → ring buffers → exported step → latency JSONL)."""
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import stream_loop
+
+    ev = _make_evaluator()
+    path = str(tmp_path / "serve.ssx")
+    export_serving_artifact(ev, path)
+    cfg = TrainConfig(in_hw=(260, 346),  # ignored: geometry from manifest
+                      checkpoint_dir=str(tmp_path / "ck"))
+    res = stream_loop(cfg, synthetic=True, n_windows=4, pipeline=1,
+                      events_per_window=500, artifact=path)
+    assert res["n_windows"] == 4
+    assert res["interval_ms_mean"] > 0
+
+
 def test_version_guard(tmp_path):
     ev = _make_evaluator()
     path = str(tmp_path / "v.ssx")
