@@ -260,6 +260,37 @@ def _device_setup(cfg: TrainConfig):
     return None
 
 
+class _PreemptionGuard:
+    """SIGTERM → finish the in-flight step, checkpoint, exit cleanly.
+
+    Preemptible TPU VMs / cluster schedulers deliver SIGTERM ahead of
+    shutdown; the reference would lose everything since its last best-val
+    save (train.py:348-352 — weights-only, best-only). Here the guard sets
+    a flag the step loop polls, the loop persists the EXACT resume point
+    (params+optimizer+step+PRNG) and returns, and `--resume` continues.
+    Signal handlers only install in the main thread; elsewhere (driver
+    threads, tests running loops concurrently) the guard is a no-op."""
+
+    def __init__(self):
+        import signal
+
+        self.requested = False
+        self._signal = signal
+        self._old = None
+        try:
+            self._old = signal.signal(signal.SIGTERM, self._on_term)
+        except ValueError:  # not the main thread
+            pass
+
+    def _on_term(self, signum, frame):
+        self.requested = True
+
+    def restore(self) -> None:
+        if self._old is not None:
+            self._signal.signal(self._signal.SIGTERM, self._old)
+            self._old = None
+
+
 def _viz_dir(cfg: TrainConfig) -> str:
     return os.path.join(cfg.checkpoint_dir, "visualizations")
 
@@ -439,6 +470,7 @@ def train_loop(
     summary: Dict = {}
 
     steps_done = int(state.step)  # host-side mirror of state.step
+    guard = _PreemptionGuard()
     for epoch in range(start_epoch, cfg.epochs):
         t0 = time.time()
         # metrics stay ON DEVICE during the epoch: jax dispatch is async, so
@@ -456,6 +488,17 @@ def train_loop(
             if max_steps is not None and steps_done >= max_steps:
                 done = True
                 break
+            if guard.requested:
+                break
+        if guard.requested:
+            # preemption: persist the exact resume point NOW and skip
+            # validation — the termination grace window may not cover it
+            save_checkpoint(cfg.checkpoint_dir, state,
+                            meta_extra={"steps_per_epoch": sched_steps})
+            logger.text(f"SIGTERM: checkpointed at step {steps_done}; "
+                        "resume with --resume true")
+            summary = {"epoch": epoch, "step": steps_done, "preempted": True}
+            break
         n_steps = len(step_metrics)
         train_loss, train_mde = map(float, _fetch_sums(step_metrics))
         train_time = time.time() - t0
@@ -528,6 +571,7 @@ def train_loop(
         if done:
             break
 
+    guard.restore()
     logger.close()
     return summary
 
@@ -853,6 +897,7 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     done = False
     summary: Dict = {}
     steps_done = int(state.step)
+    guard = _PreemptionGuard()
     for epoch in range(int(state.epoch), cfg.epochs):
         # async accumulation (see train_loop): metrics stay on device during
         # the epoch; a per-step float() would D2H-sync every step
@@ -865,6 +910,15 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
             if max_steps is not None and steps_done >= max_steps:
                 done = True
                 break
+            if guard.requested:
+                break
+        if guard.requested:  # see train_loop: checkpoint now, skip val
+            save_checkpoint(cfg.checkpoint_dir, state,
+                            meta_extra={"steps_per_epoch": sched_steps})
+            logger.text(f"SIGTERM: checkpointed at step {steps_done}; "
+                        "resume with --resume true")
+            summary = {"epoch": epoch, "step": steps_done, "preempted": True}
+            break
         n_steps = len(step_metrics)
         tr = _fetch_sums(step_metrics)
         val_stats = []
@@ -891,6 +945,7 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
                    "best_val_MDE": float(state.best_metric)}
         if done:
             break
+    guard.restore()
     logger.close()
     return summary
 

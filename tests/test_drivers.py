@@ -65,6 +65,49 @@ def test_checkpoint_roundtrip(tmp_path):
     assert meta["step"] == 7
 
 
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
+    """Preemption contract: SIGTERM mid-training persists the exact resume
+    point and returns cleanly; --resume continues from that step."""
+    import signal
+    import threading
+    import time
+
+    from stereospike_tpu.train.checkpoint import load_meta
+    from stereospike_tpu.train.loop import train_loop
+
+    cfg = _tiny_cfg(str(tmp_path), epochs=200)
+
+    def fire():
+        # wait until the loop's guard has installed its handler (firing
+        # earlier would hit the default action and kill pytest), give it a
+        # beat to take some steps, then deliver the signal
+        for _ in range(600):
+            if signal.getsignal(signal.SIGTERM) not in (
+                    signal.SIG_DFL, signal.SIG_IGN):
+                time.sleep(3.0)
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+            time.sleep(0.5)
+
+    t = threading.Thread(target=fire, daemon=True)
+    t.start()
+    summary = train_loop(cfg, synthetic=True)
+    t.join(timeout=60)
+    assert summary.get("preempted") is True
+    assert summary["step"] >= 1
+    assert has_checkpoint(cfg.checkpoint_dir)
+    meta = load_meta(cfg.checkpoint_dir)
+    assert meta["step"] == summary["step"]
+    # the handler was restored on exit
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.SIG_IGN)
+
+    resumed = train_loop(dataclasses.replace(cfg, resume=True),
+                         synthetic=True, max_steps=summary["step"] + 2)
+    assert resumed.get("preempted") is None
+    assert load_meta(cfg.checkpoint_dir)["step"] >= summary["step"] + 2
+
+
 def test_cli_sweep_table3(tmp_path):
     """cli sweep: the paper's Table-3 skip ablation trains + evaluates both
     variants and writes the comparison JSON/markdown."""
