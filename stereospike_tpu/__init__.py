@@ -13,6 +13,6 @@ designed TPU-first:
   parallelism over a device mesh
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 from stereospike_tpu.snn import surrogate, neurons  # noqa: F401
