@@ -268,7 +268,12 @@ class StreamingEvaluator:
         self._maps = {e: None for e in self.eyes}  # baked into the artifact
         self._init_state = art.init_state
         self._state = art.init_state()
-        self._step = lambda params, state, evs, valids: art.step(
+        # jit the exported call once: eager Exported.call re-flattens and
+        # re-binds per invocation — repeated host work the latency-critical
+        # push() path must not pay every window
+        art_step = jax.jit(lambda state, evs, valids: art.step(state, evs,
+                                                               valids))
+        self._step = lambda params, state, evs, valids: art_step(
             state, evs, valids)
         return self
 

@@ -49,7 +49,7 @@ TABLES: Dict[str, List[Dict]] = {
 
 def _markdown(rows: List[Dict]) -> str:
     cols = ["name", "model", "heads", "val_MDE", "test_MDE", "test_loss",
-            "train_time_s"]
+            "train_time_s", "preempted"]
     present = [c for c in cols if any(c in r for r in rows)]
     out = ["| " + " | ".join(present) + " |",
            "|" + "|".join("---" for _ in present) + "|"]
@@ -67,9 +67,14 @@ def run_sweep(base: TrainConfig, variants: List[Dict], *,
               name: str = "sweep", synthetic: bool = False,
               max_steps: Optional[int] = None) -> Dict:
     """Train + test-evaluate each variant; returns the comparison record."""
-    from stereospike_tpu.train.loop import eval_loop, train_loop
+    from stereospike_tpu.train.loop import _make_data, eval_loop, train_loop
 
+    # variants share the data config (only model knobs differ): build the
+    # (train, val, test) views ONCE — a real MVSEC build streams O(10^8)
+    # events and would otherwise repeat per variant
+    data = _make_data(base, synthetic, None)
     rows = []
+    preempted = False
     for v in variants:
         overrides = {k: val for k, val in v.items() if k != "name"}
         cfg = dataclasses.replace(
@@ -77,8 +82,17 @@ def run_sweep(base: TrainConfig, variants: List[Dict], *,
                                               v["name"]),
             **overrides)
         t0 = time.time()
-        summary = train_loop(cfg, synthetic=synthetic, max_steps=max_steps)
-        res = eval_loop(cfg, synthetic=synthetic)
+        summary = train_loop(cfg, synthetic=synthetic, max_steps=max_steps,
+                             data=data)
+        if summary.get("preempted"):
+            # SIGTERM mid-variant: its resume point is checkpointed; do not
+            # score half-trained weights or start the remaining variants in
+            # a process the scheduler is about to kill
+            rows.append({"name": v["name"], **overrides, "preempted": True,
+                         "step": summary.get("step")})
+            preempted = True
+            break
+        res = eval_loop(cfg, synthetic=synthetic, data=data)
         rows.append({
             "name": v["name"],
             **overrides,
@@ -88,7 +102,8 @@ def run_sweep(base: TrainConfig, variants: List[Dict], *,
             "train_time_s": round(time.time() - t0, 1),
         })
 
-    record = {"sweep": name, "n_variants": len(rows), "rows": rows}
+    record = {"sweep": name, "n_variants": len(rows), "rows": rows,
+              "preempted": preempted}
     from stereospike_tpu.utils.logging import is_lead_process
 
     if not is_lead_process():  # shared-FS writes are lead-only

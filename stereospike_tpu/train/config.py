@@ -120,7 +120,8 @@ class TrainConfig:
     @classmethod
     def from_json(cls, text: str) -> "TrainConfig":
         d = json.loads(text)
-        for key in ("in_hw", "lr_milestones", "scale_weights", "mesh_shape"):
+        for key in ("in_hw", "lr_milestones", "scale_weights", "mesh_shape",
+                    "heads"):
             if d.get(key) is not None:
                 d[key] = tuple(d[key])
         return cls(**d)

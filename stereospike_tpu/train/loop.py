@@ -291,6 +291,25 @@ class _PreemptionGuard:
             self._old = None
 
 
+def _preempt_sync(guard: "_PreemptionGuard", step_idx: int,
+                  every: int = 16) -> bool:
+    """Cross-host agreement on the preemption flag. Single-process: the
+    local flag, checked every step. Multi-host: a host leaving the step
+    loop alone deadlocks the others' gradient collectives, so hosts must
+    break at the SAME boundary — the flag is OR-reduced across processes
+    at a fixed step cadence (lockstep data sharding guarantees identical
+    ``step_idx`` everywhere), a tiny blocking collective that also bounds
+    run-ahead skew to ``every`` steps."""
+    if jax.process_count() == 1:
+        return guard.requested
+    if step_idx % every:
+        return False
+    from jax.experimental import multihost_utils
+
+    flag = jnp.asarray(1.0 if guard.requested else 0.0)
+    return bool(multihost_utils.process_allgather(flag).max() > 0)
+
+
 def _viz_dir(cfg: TrainConfig) -> str:
     return os.path.join(cfg.checkpoint_dir, "visualizations")
 
@@ -363,9 +382,13 @@ def train_loop(
     # step-indexed, so a resume with a different batch size/dataset must use
     # the ORIGINAL steps_per_epoch or the milestones silently shift
     sched_steps = steps_per_epoch
+    resume_skip = 0
     if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
         meta = load_meta(cfg.checkpoint_dir) or {}
         sched_steps = int(meta.get("steps_per_epoch", steps_per_epoch))
+        # mid-epoch preemption point: batches of the interrupted epoch
+        # already consumed (see the preemption save below)
+        resume_skip = int(meta.get("epoch_step_offset", 0))
     sched = multistep_lr_schedule(cfg.learning_rate, cfg.lr_milestones,
                                   cfg.lr_gamma, sched_steps)
     tx = make_optimizer(sched, cfg.weight_decay)
@@ -471,108 +494,130 @@ def train_loop(
 
     steps_done = int(state.step)  # host-side mirror of state.step
     guard = _PreemptionGuard()
-    for epoch in range(start_epoch, cfg.epochs):
-        t0 = time.time()
-        # metrics stay ON DEVICE during the epoch: jax dispatch is async, so
-        # a per-step float() would block the host on a D2H fetch every step
-        # (≈2×RTT through this environment's device tunnel — more than the
-        # step's compute) and serialize prep(k+1) behind step k. Deferring
-        # the fetch lets the host prep/upload the next batch while the chip
-        # runs the current step; one stack+sum at epoch end fetches all.
-        step_metrics = []
-        for batch in _batch_iter(cfg, train_view, shard_over_processes=True,
-                                 shuffle=True, seed=cfg.seed + epoch):
-            state, metrics = train_step(state, prep(batch))
-            step_metrics.append((metrics["loss"], metrics["mde"]))
-            steps_done += 1
-            if max_steps is not None and steps_done >= max_steps:
-                done = True
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.time()
+            # metrics stay ON DEVICE during the epoch: jax dispatch is async, so
+            # a per-step float() would block the host on a D2H fetch every step
+            # (≈2×RTT through this environment's device tunnel — more than the
+            # step's compute) and serialize prep(k+1) behind step k. Deferring
+            # the fetch lets the host prep/upload the next batch while the chip
+            # runs the current step; one stack+sum at epoch end fetches all.
+            step_metrics = []
+            preempt_now = False
+            base_off = resume_skip if epoch == start_epoch else 0
+            skip = base_off
+            for batch in _batch_iter(cfg, train_view, shard_over_processes=True,
+                                     shuffle=True, seed=cfg.seed + epoch):
+                if skip:
+                    # mid-epoch resume: replay the seed-deterministic batch
+                    # order up to the preemption point without training, and
+                    # burn the matching augmentation split so every later
+                    # batch draws the key the uninterrupted run would have
+                    skip -= 1
+                    if cfg.augment:
+                        aug_key, _ = jax.random.split(aug_key)
+                    continue
+                state, metrics = train_step(state, prep(batch))
+                step_metrics.append((metrics["loss"], metrics["mde"]))
+                steps_done += 1
+                if max_steps is not None and steps_done >= max_steps:
+                    done = True
+                    break
+                if _preempt_sync(guard, steps_done):
+                    preempt_now = True
+                    break
+            if preempt_now:
+                # preemption: persist the exact resume point NOW — including
+                # the within-epoch batch cursor, so --resume continues this
+                # epoch where it left off instead of retraining its head —
+                # and skip validation (the grace window may not cover it)
+                save_checkpoint(
+                    cfg.checkpoint_dir, state,
+                    meta_extra={"steps_per_epoch": sched_steps,
+                                "epoch_step_offset":
+                                    base_off + len(step_metrics)})
+                logger.text(f"SIGTERM: checkpointed at step {steps_done}; "
+                            "resume with --resume true")
+                summary = {"epoch": epoch, "step": steps_done, "preempted": True}
                 break
-            if guard.requested:
-                break
-        if guard.requested:
-            # preemption: persist the exact resume point NOW and skip
-            # validation — the termination grace window may not cover it
-            save_checkpoint(cfg.checkpoint_dir, state,
+            n_steps = len(step_metrics)
+            train_loss, train_mde = map(float, _fetch_sums(step_metrics))
+            train_time = time.time() - t0
+
+            # validation (reference train.py:275-335). eval_step returns
+            # per-sample means, so weighting by the batch's sample count makes
+            # the epoch statistics exactly the reference's per-sample math even
+            # with batch_size > 1 and a short final batch (drop_last=False).
+            t0 = time.time()
+            n_val = n_val_batches = 0
+            # same async pattern as training: keep only the per-batch scalar
+            # means on device (weighted by sample count — NOT the big depth
+            # maps, which would pin HBM) and fetch once after the loop
+            val_stats = []
+            fr_scalars: Dict[str, float] = {}
+            for batch in _batch_iter(cfg, val_view, drop_last=False):
+                bsz = batch["gt"].shape[0]
+                use_mesh = eval_divisible(bsz)
+                step = eval_step_sharded if use_mesh else eval_step_local
+                out = step(state.params, prep(batch, train=False, shard=use_mesh))
+                val_stats.append((out["loss"] * bsz, out["mde"] * bsz))
+                if n_val_batches == 0 and cfg.save_viz:
+                    _save_viz_panel(
+                        os.path.join(_viz_dir(cfg), f"epoch_{epoch:04d}.png"),
+                        batch, out["depth"], title=f"epoch {epoch}")
+                if (n_val_batches == 0 and rate_fn is not None
+                        and epoch % cfg.log_firing_rates == 0):
+                    rates = np.asarray(
+                        rate_fn(state.params, jnp.asarray(batch["chunks"])))
+                    fr_scalars = {f"fr_{k}": float(v)
+                                  for k, v in zip(TAP_NAMES, rates)}
+                n_val += bsz
+                n_val_batches += 1
+            val_loss, val_mde = map(float, _fetch_sums(val_stats))
+            val_time = time.time() - t0
+
+            state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+            scalars = {
+                "train_loss": train_loss / max(n_steps, 1),
+                "train_MDE": train_mde / max(n_steps, 1),
+                "val_loss": val_loss / max(n_val, 1),
+                "val_MDE": val_mde / max(n_val, 1),
+                "lr": float(sched(steps_done)),
+                "train_time_s": train_time,
+                "val_time_s": val_time,
+                # wall-clock event-frame throughput incl. host prep/augment —
+                # the number to compare against bench.py's device-only rate
+                "train_frames_per_s": round(
+                    n_steps * cfg.batch_size * cfg.n_timesteps
+                    / max(train_time, 1e-9), 2),
+                **fr_scalars,
+            }
+            logger.log(scalars, step=steps_done, epoch=epoch)
+            logger.text(
+                f"epoch {epoch}: train loss {scalars['train_loss']:.4f} "
+                f"MDE {scalars['train_MDE']:.4f} | val loss {scalars['val_loss']:.4f} "
+                f"MDE {scalars['val_MDE']:.4f} | {train_time:.1f}s+{val_time:.1f}s")
+
+            is_best = n_val > 0 and scalars["val_MDE"] < float(state.best_metric)
+            if is_best:
+                state = state._replace(
+                    best_metric=jnp.asarray(scalars["val_MDE"], jnp.float32))
+            tag = (f"epoch_{epoch:04d}"
+                   if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0
+                   else None)
+            save_checkpoint(cfg.checkpoint_dir, state, best=is_best, tag=tag,
                             meta_extra={"steps_per_epoch": sched_steps})
-            logger.text(f"SIGTERM: checkpointed at step {steps_done}; "
-                        "resume with --resume true")
-            summary = {"epoch": epoch, "step": steps_done, "preempted": True}
-            break
-        n_steps = len(step_metrics)
-        train_loss, train_mde = map(float, _fetch_sums(step_metrics))
-        train_time = time.time() - t0
+            summary = {"epoch": epoch, **scalars,
+                       "best_val_MDE": float(state.best_metric)}
+            if done:
+                break
 
-        # validation (reference train.py:275-335). eval_step returns
-        # per-sample means, so weighting by the batch's sample count makes
-        # the epoch statistics exactly the reference's per-sample math even
-        # with batch_size > 1 and a short final batch (drop_last=False).
-        t0 = time.time()
-        n_val = n_val_batches = 0
-        # same async pattern as training: keep only the per-batch scalar
-        # means on device (weighted by sample count — NOT the big depth
-        # maps, which would pin HBM) and fetch once after the loop
-        val_stats = []
-        fr_scalars: Dict[str, float] = {}
-        for batch in _batch_iter(cfg, val_view, drop_last=False):
-            bsz = batch["gt"].shape[0]
-            use_mesh = eval_divisible(bsz)
-            step = eval_step_sharded if use_mesh else eval_step_local
-            out = step(state.params, prep(batch, train=False, shard=use_mesh))
-            val_stats.append((out["loss"] * bsz, out["mde"] * bsz))
-            if n_val_batches == 0 and cfg.save_viz:
-                _save_viz_panel(
-                    os.path.join(_viz_dir(cfg), f"epoch_{epoch:04d}.png"),
-                    batch, out["depth"], title=f"epoch {epoch}")
-            if (n_val_batches == 0 and rate_fn is not None
-                    and epoch % cfg.log_firing_rates == 0):
-                rates = np.asarray(
-                    rate_fn(state.params, jnp.asarray(batch["chunks"])))
-                fr_scalars = {f"fr_{k}": float(v)
-                              for k, v in zip(TAP_NAMES, rates)}
-            n_val += bsz
-            n_val_batches += 1
-        val_loss, val_mde = map(float, _fetch_sums(val_stats))
-        val_time = time.time() - t0
-
-        state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
-        scalars = {
-            "train_loss": train_loss / max(n_steps, 1),
-            "train_MDE": train_mde / max(n_steps, 1),
-            "val_loss": val_loss / max(n_val, 1),
-            "val_MDE": val_mde / max(n_val, 1),
-            "lr": float(sched(steps_done)),
-            "train_time_s": train_time,
-            "val_time_s": val_time,
-            # wall-clock event-frame throughput incl. host prep/augment —
-            # the number to compare against bench.py's device-only rate
-            "train_frames_per_s": round(
-                n_steps * cfg.batch_size * cfg.n_timesteps
-                / max(train_time, 1e-9), 2),
-            **fr_scalars,
-        }
-        logger.log(scalars, step=steps_done, epoch=epoch)
-        logger.text(
-            f"epoch {epoch}: train loss {scalars['train_loss']:.4f} "
-            f"MDE {scalars['train_MDE']:.4f} | val loss {scalars['val_loss']:.4f} "
-            f"MDE {scalars['val_MDE']:.4f} | {train_time:.1f}s+{val_time:.1f}s")
-
-        is_best = n_val > 0 and scalars["val_MDE"] < float(state.best_metric)
-        if is_best:
-            state = state._replace(
-                best_metric=jnp.asarray(scalars["val_MDE"], jnp.float32))
-        tag = (f"epoch_{epoch:04d}"
-               if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0
-               else None)
-        save_checkpoint(cfg.checkpoint_dir, state, best=is_best, tag=tag,
-                        meta_extra={"steps_per_epoch": sched_steps})
-        summary = {"epoch": epoch, **scalars,
-                   "best_val_MDE": float(state.best_metric)}
-        if done:
-            break
-
-    guard.restore()
-    logger.close()
+    finally:
+        # always restore the previous SIGTERM handler (an exception
+        # mid-epoch must not leave the process deaf to termination)
+        guard.restore()
+        logger.close()
     return summary
 
 
@@ -697,6 +742,12 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
     if artifact is not None:
         evaluator = StreamingEvaluator.from_artifact(
             artifact, pipeline=pipeline, reset_each_window=False)
+        if evaluator.n_streams != 1:
+            raise ValueError(
+                f"this driver's sources emit single-camera windows; the "
+                f"artifact serves n_streams={evaluator.n_streams} — use "
+                "StreamingEvaluator.from_artifact directly and push() "
+                "per-stream lists")
         eyes = evaluator.eyes
         binocular = len(eyes) > 1
     else:
@@ -853,9 +904,11 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     train_view, val_view, _ = data or _make_data(cfg, synthetic, None)
     steps_per_epoch = max(len(train_view) // cfg.batch_size, 1)
     sched_steps = steps_per_epoch
+    resume_skip = 0
     if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
         meta = load_meta(cfg.checkpoint_dir) or {}
         sched_steps = int(meta.get("steps_per_epoch", steps_per_epoch))
+        resume_skip = int(meta.get("epoch_step_offset", 0))
     sched = multistep_lr_schedule(cfg.learning_rate, cfg.lr_milestones,
                                   cfg.lr_gamma, sched_steps)
     tx = make_optimizer(sched, cfg.weight_decay)
@@ -897,56 +950,73 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     done = False
     summary: Dict = {}
     steps_done = int(state.step)
+    start_epoch = int(state.epoch)
     guard = _PreemptionGuard()
-    for epoch in range(int(state.epoch), cfg.epochs):
-        # async accumulation (see train_loop): metrics stay on device during
-        # the epoch; a per-step float() would D2H-sync every step
-        step_metrics = []
-        for batch in _batch_iter(cfg, train_view, shard_over_processes=True,
-                                 shuffle=True, seed=cfg.seed + epoch):
-            state, metrics = train_step(state, prep(batch))
-            step_metrics.append((metrics["loss"], metrics["mde"]))
-            steps_done += 1
-            if max_steps is not None and steps_done >= max_steps:
-                done = True
+    try:
+        for epoch in range(start_epoch, cfg.epochs):
+            # async accumulation (see train_loop): metrics stay on device during
+            # the epoch; a per-step float() would D2H-sync every step
+            step_metrics = []
+            preempt_now = False
+            base_off = resume_skip if epoch == start_epoch else 0
+            skip = base_off
+            for batch in _batch_iter(cfg, train_view, shard_over_processes=True,
+                                     shuffle=True, seed=cfg.seed + epoch):
+                if skip:  # mid-epoch resume: see train_loop
+                    skip -= 1
+                    if cfg.augment:
+                        aug_key, _ = jax.random.split(aug_key)
+                    continue
+                state, metrics = train_step(state, prep(batch))
+                step_metrics.append((metrics["loss"], metrics["mde"]))
+                steps_done += 1
+                if max_steps is not None and steps_done >= max_steps:
+                    done = True
+                    break
+                if _preempt_sync(guard, steps_done):
+                    preempt_now = True
+                    break
+            if preempt_now:  # see train_loop: checkpoint now, skip val
+                save_checkpoint(
+                    cfg.checkpoint_dir, state,
+                    meta_extra={"steps_per_epoch": sched_steps,
+                                "epoch_step_offset":
+                                    base_off + len(step_metrics)})
+                logger.text(f"SIGTERM: checkpointed at step {steps_done}; "
+                            "resume with --resume true")
+                summary = {"epoch": epoch, "step": steps_done, "preempted": True}
                 break
-            if guard.requested:
-                break
-        if guard.requested:  # see train_loop: checkpoint now, skip val
-            save_checkpoint(cfg.checkpoint_dir, state,
+            n_steps = len(step_metrics)
+            tr = _fetch_sums(step_metrics)
+            val_stats = []
+            n_val = 0
+            for batch in _batch_iter(cfg, val_view, drop_last=False):
+                bsz = batch["gt"].shape[0]
+                out = eval_step(state.params, state.bn_state, prep(batch, False))
+                val_stats.append((out["loss"] * bsz, out["mde"] * bsz))
+                n_val += bsz
+            va = _fetch_sums(val_stats)
+            state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
+            scalars = {"train_loss": float(tr[0]) / max(n_steps, 1),
+                       "train_MDE": float(tr[1]) / max(n_steps, 1),
+                       "val_loss": float(va[0]) / max(n_val, 1),
+                       "val_MDE": float(va[1]) / max(n_val, 1)}
+            logger.log(scalars, step=steps_done, epoch=epoch)
+            is_best = n_val > 0 and scalars["val_MDE"] < float(state.best_metric)
+            if is_best:
+                state = state._replace(
+                    best_metric=jnp.asarray(scalars["val_MDE"], jnp.float32))
+            save_checkpoint(cfg.checkpoint_dir, state, best=is_best,
                             meta_extra={"steps_per_epoch": sched_steps})
-            logger.text(f"SIGTERM: checkpointed at step {steps_done}; "
-                        "resume with --resume true")
-            summary = {"epoch": epoch, "step": steps_done, "preempted": True}
-            break
-        n_steps = len(step_metrics)
-        tr = _fetch_sums(step_metrics)
-        val_stats = []
-        n_val = 0
-        for batch in _batch_iter(cfg, val_view, drop_last=False):
-            bsz = batch["gt"].shape[0]
-            out = eval_step(state.params, state.bn_state, prep(batch, False))
-            val_stats.append((out["loss"] * bsz, out["mde"] * bsz))
-            n_val += bsz
-        va = _fetch_sums(val_stats)
-        state = state._replace(epoch=jnp.asarray(epoch + 1, jnp.int32))
-        scalars = {"train_loss": float(tr[0]) / max(n_steps, 1),
-                   "train_MDE": float(tr[1]) / max(n_steps, 1),
-                   "val_loss": float(va[0]) / max(n_val, 1),
-                   "val_MDE": float(va[1]) / max(n_val, 1)}
-        logger.log(scalars, step=steps_done, epoch=epoch)
-        is_best = n_val > 0 and scalars["val_MDE"] < float(state.best_metric)
-        if is_best:
-            state = state._replace(
-                best_metric=jnp.asarray(scalars["val_MDE"], jnp.float32))
-        save_checkpoint(cfg.checkpoint_dir, state, best=is_best,
-                        meta_extra={"steps_per_epoch": sched_steps})
-        summary = {"epoch": epoch, **scalars,
-                   "best_val_MDE": float(state.best_metric)}
-        if done:
-            break
-    guard.restore()
-    logger.close()
+            summary = {"epoch": epoch, **scalars,
+                       "best_val_MDE": float(state.best_metric)}
+            if done:
+                break
+    finally:
+        # always restore the previous SIGTERM handler (an exception
+        # mid-epoch must not leave the process deaf to termination)
+        guard.restore()
+        logger.close()
     return summary
 
 

@@ -98,6 +98,9 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path):
     assert has_checkpoint(cfg.checkpoint_dir)
     meta = load_meta(cfg.checkpoint_dir)
     assert meta["step"] == summary["step"]
+    # the within-epoch batch cursor is saved so --resume continues the
+    # interrupted epoch where it left off, not from its first batch
+    assert meta["epoch_step_offset"] >= 1
     # the handler was restored on exit
     assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
                                                 signal.SIG_IGN)
@@ -134,6 +137,9 @@ def test_heads_subset_config(tmp_path):
 
     cfg = _tiny_cfg(str(tmp_path), heads=(1, 2), epochs=1)
     assert build_model_config(cfg).heads == (1, 2)
+    # JSON round trip keeps the tuple invariant (frozen config stays usable)
+    cfg2 = TrainConfig.from_json(cfg.to_json())
+    assert cfg2.heads == (1, 2) and isinstance(cfg2.heads, tuple)
     summary = train_loop(cfg, synthetic=True, max_steps=1)
     assert np.isfinite(summary["train_loss"])
 
