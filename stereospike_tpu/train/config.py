@@ -48,6 +48,14 @@ class TrainConfig:
     # (None = materialize the full table, the reference's behavior)
     event_block_rows: Optional[int] = None
     normalize: bool = False
+    # --synthetic fixture sizing (data/fixtures.py::make_mvsec_fixture):
+    # depth frames + events per sequence, and whether the generated scene is
+    # learnable (event density + stereo disparity correlated with depth) —
+    # lets the driver run hardware-sized end-to-end training demonstrations
+    # when the multi-GB MVSEC hdf5 files are not present
+    synth_frames: int = 16
+    synth_events: int = 30000
+    synth_learnable: bool = False
     # the reference composes hflip/vflip/time-mirror/event-drop into every
     # training run (data_augmentation.py:166-172, train.py:84-90)
     augment: bool = True

@@ -177,8 +177,11 @@ def _make_data(cfg: TrainConfig, synthetic: bool, tmpdir: Optional[str],
         import tempfile
 
         root = tmpdir or tempfile.mkdtemp(prefix="stereospike_synth_")
-        tables = make_mvsec_fixture(root, hw=tuple(cfg.in_hw), n_depth=16,
-                                    n_events=30000, seed=cfg.seed)
+        tables = make_mvsec_fixture(root, hw=tuple(cfg.in_hw),
+                                    n_depth=cfg.synth_frames,
+                                    n_events=cfg.synth_events,
+                                    learnable=cfg.synth_learnable,
+                                    seed=cfg.seed)
         return load_mvsec(root, split="1", tables=tables, hw=tuple(cfg.in_hw),
                           nfpdm=cfg.nfpdm, warmup_chunks=cfg.n_warmup,
                           train_chunks=cfg.n_inference, learn_on=cfg.learn_on,

@@ -443,3 +443,27 @@ def test_batches_shard_partitions_disjoint_and_equal(mvsec_root):
 
     with pytest.raises(ValueError, match="rank"):
         next(batches(train, 2, shard=(3, 3)))
+
+
+def test_learnable_fixture_carries_depth_signal(tmp_path):
+    """--synthetic with synth_learnable: event-count frames must genuinely
+    encode depth (density ~ 1/d^2, fixtures.py::make_mvsec_fixture) after
+    the full rectify+bin pipeline, so a hardware-sized synthetic training
+    run can drive MDE below the predict-the-mean floor."""
+    root = str(tmp_path / "mvsec_learn")
+    tables = make_mvsec_fixture(root, hw=HW, n_depth=10, n_events=100000,
+                                learnable=True, seed=3)
+    seq = load_sequence(root, "indoor_flying", "1", "1", tables=tables, hw=HW)
+    counts = np.asarray(seq.data_left).sum(axis=(1, 4))     # [n, H, W]
+    depth = np.asarray(seq.labels[..., 0])
+    valid = np.asarray(seq.masks[..., 0])
+    med = np.median(depth[valid])
+    near = valid & (depth < med)
+    far = valid & (depth >= med)
+    assert counts[near].mean() > 1.5 * counts[far].mean()
+    # the stereo pair is disparity-shifted, not a copy
+    assert not np.array_equal(np.asarray(seq.data_left),
+                              np.asarray(seq.data_right))
+    # every inter-depth window produced events on both eyes
+    assert (np.asarray(seq.data_left).sum(axis=(1, 2, 3, 4)) > 0).all()
+    assert (np.asarray(seq.data_right).sum(axis=(1, 2, 3, 4)) > 0).all()
