@@ -30,7 +30,11 @@ import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from stereospike_tpu.sources import recv_depth, send_events  # noqa: E402
+from stereospike_tpu.sources import (  # noqa: E402
+    aedat31_packets,
+    recv_depth,
+    send_events,
+)
 
 
 def synthetic_events(rng, hw, t0, span, n):
@@ -53,6 +57,10 @@ def main():
     ap.add_argument("--hz", type=float, default=20.0,
                     help="packet cadence (the server windows by timestamp, "
                          "not by packet)")
+    ap.add_argument("--aedat", default=None,
+                    help="replay AEDAT 3.1 recording(s) instead of the "
+                         "synthetic generator; one path, or left,right "
+                         "paths — overrides --eyes/--seconds")
     args = ap.parse_args()
     hw = tuple(int(v) for v in args.hw.split(","))
 
@@ -82,16 +90,29 @@ def main():
     rt = threading.Thread(target=reader, daemon=True)
     rt.start()
 
-    rng = np.random.default_rng(0)
-    dt = 1.0 / args.hz
-    t = time.time()  # epoch stamps are fine: the wire keeps f64 precision
-    deadline = time.time() + args.seconds
-    while time.time() < deadline:
-        for eye in range(args.eyes):
-            send_events(sock, eye, synthetic_events(
-                rng, hw, t, dt, args.events_per_packet))
-        t += dt
-        time.sleep(dt)
+    if args.aedat:
+        # replay a camera recording packet-by-packet: timestamps come from
+        # the file (the server windows by them), pacing from --hz
+        dt = 1.0 / args.hz
+        streams = [aedat31_packets(p) for p in args.aedat.split(",") if p]
+        heads = [next(it, None) for it in streams]
+        while any(h is not None for h in heads):
+            eye = min((i for i, h in enumerate(heads) if h is not None),
+                      key=lambda i: heads[i][0, 2])
+            send_events(sock, eye, heads[eye])
+            heads[eye] = next(streams[eye], None)
+            time.sleep(dt)
+    else:
+        rng = np.random.default_rng(0)
+        dt = 1.0 / args.hz
+        t = time.time()  # epoch stamps fine: the wire keeps f64 precision
+        deadline = time.time() + args.seconds
+        while time.time() < deadline:
+            for eye in range(args.eyes):
+                send_events(sock, eye, synthetic_events(
+                    rng, hw, t, dt, args.events_per_packet))
+            t += dt
+            time.sleep(dt)
     sock.shutdown(socket.SHUT_WR)
     rt.join(timeout=30)
     print(f"served {len(depths)} depth maps")

@@ -177,6 +177,10 @@ def main(argv=None) -> int:
             p.add_argument("--aer-format", type=str, default="TXYP",
                            choices=("TXYP", "XYTP"),
                            help="column order of the events-dir .npy files")
+            p.add_argument("--aedat", type=str, default=None,
+                           help="replay an AEDAT 3.1 recording (iniVation "
+                                "DAVIS/DVS); one path, or left,right paths "
+                                "for a stereo rig")
             p.add_argument("--listen", type=str, default=None,
                            help="accept a live SPKE-protocol TCP event feed "
                                 "on host:port (or just a port); see "
@@ -331,7 +335,7 @@ def main(argv=None) -> int:
             n_windows=args.n_windows, pipeline=args.pipeline,
             save_video=args.save_video, aer_format=args.aer_format,
             listen=args.listen, reply=args.reply,
-            artifact=args.artifact)))
+            artifact=args.artifact, aedat=args.aedat)))
     return 0
 
 

@@ -8,12 +8,14 @@ small source abstraction a live DVS driver can stand behind.
 A *source* is any iterable yielding per-window event dicts
 ``{eye: [N, 4] float32}`` with XYTP rows and **window-relative** timestamps
 (seconds since the window start — exactly what
-:meth:`streaming.StreamingEvaluator.push` consumes). Three implementations:
+:meth:`streaming.StreamingEvaluator.push` consumes). Four implementations:
 
 * :class:`SyntheticSource` — random windows (smoke tests, latency probes).
 * :class:`ReplayDirSource` — replays a DENSE-format ``events/data/*.npy``
   directory (reference ``dense_dataset.py`` layout), optionally paced to
   wall-clock real time.
+* :class:`AedatFileSource` — replays AEDAT 3.1 recordings (the iniVation
+  DAVIS/DVS on-disk format), mono or one-file-per-eye stereo.
 * :class:`SocketSource` — a live TCP feed. Event-camera drivers publish
   length-prefixed binary packets (see :data:`PACKET_HEADER`); the source
   assembles them into fixed-duration windows by timestamp, per eye. This is
@@ -406,3 +408,191 @@ class SocketSource:
                     return
         finally:
             self._srv.close()
+
+
+# ---------------------------------------------------------------------------
+# AEDAT 3.1 — the standard on-disk format of iniVation DAVIS/DVS cameras
+# (jAER / cAER / dv recordings). Replaying one closes the last gap between
+# the DENSE-dir replay source and a real camera: record with the vendor
+# tooling, serve with ``cli stream --aedat``. Format: an ASCII header
+# ("#!AER-DAT3.1\r\n" ... "#!END-HEADER\r\n") followed by little-endian
+# event packets, each a 28-byte header + eventNumber fixed-size events.
+# Polarity events (type 1) are 8 bytes: u32 data word (bit 0 valid, bit 1
+# polarity, bits 2-16 y, bits 17-31 x) + i32 timestamp in µs; the packet
+# header's eventTSOverflow field carries bits 31+ of the µs clock.
+# ---------------------------------------------------------------------------
+
+AEDAT31_MAGIC = b"#!AER-DAT3.1\r\n"
+AEDAT31_END_HEADER = b"#!END-HEADER\r\n"
+# eventType, eventSource, eventSize, eventTSOffset, eventTSOverflow,
+# eventCapacity, eventNumber, eventValid
+AEDAT31_PACKET_HEADER = struct.Struct("<hhiiiiii")
+AEDAT31_POLARITY_TYPE = 1
+_AEDAT31_POLARITY_DTYPE = np.dtype([("data", "<u4"), ("ts", "<i4")])
+
+
+def aedat31_packets(path: str) -> Iterator[np.ndarray]:
+    """Yield one [N, 4] float64 XYTP array (absolute seconds, valid polarity
+    events only) per AEDAT 3.1 packet in file order. Non-polarity packets
+    (IMU, frames, special events) are skipped; a truncated final packet
+    raises — a half-written recording should fail loudly, not serve a
+    silently shortened stream."""
+    with open(path, "rb") as f:
+        first = f.readline()
+        if not first.startswith(b"#!AER-DAT3.1"):
+            raise ValueError(f"{path} is not an AEDAT 3.1 file "
+                             f"(header {first[:20]!r})")
+        line = first
+        while line.startswith(b"#"):
+            if line.startswith(b"#!END-HEADER"):
+                break
+            line = f.readline()
+            if not line:
+                raise ValueError(f"{path}: header never terminated "
+                                 "(#!END-HEADER missing)")
+        while True:
+            hdr = f.read(AEDAT31_PACKET_HEADER.size)
+            if not hdr:
+                return
+            if len(hdr) < AEDAT31_PACKET_HEADER.size:
+                raise ValueError(f"{path}: truncated packet header "
+                                 f"({len(hdr)} bytes)")
+            (etype, _src, esize, _tsoff, tsoverflow,
+             _cap, enum_, _evalid) = AEDAT31_PACKET_HEADER.unpack(hdr)
+            body = f.read(esize * enum_)
+            if len(body) < esize * enum_:
+                raise ValueError(f"{path}: truncated packet body "
+                                 f"({len(body)}/{esize * enum_} bytes)")
+            if etype != AEDAT31_POLARITY_TYPE or enum_ == 0:
+                continue
+            if esize != _AEDAT31_POLARITY_DTYPE.itemsize:
+                raise ValueError(f"{path}: polarity packet with eventSize="
+                                 f"{esize}, expected 8")
+            ev = np.frombuffer(body, _AEDAT31_POLARITY_DTYPE)
+            data = ev["data"]
+            keep = (data & 1).astype(bool)  # bit 0: valid
+            if not keep.any():
+                continue
+            data = data[keep]
+            # 31-bit µs timestamp + packet-level overflow counter
+            t_us = (np.int64(tsoverflow) << 31) | ev["ts"][keep].astype(
+                np.int64)
+            yield np.stack([
+                ((data >> 17) & 0x7FFF).astype(np.float64),   # x
+                ((data >> 2) & 0x7FFF).astype(np.float64),    # y
+                t_us.astype(np.float64) * 1e-6,               # t (s)
+                ((data >> 1) & 1).astype(np.float64),         # polarity
+            ], axis=1)
+
+
+class AedatFileSource:
+    """Replay AEDAT 3.1 recordings as fixed-duration windows.
+
+    ``paths``: one file (monocular, served as eye ``"left"``) or an
+    ``{eye: path}`` dict for a stereo rig recorded as one file per camera.
+    Packets are merged across eyes in timestamp order and sliced into
+    ``window_s`` windows by the same :class:`_WindowAssembler` the live TCP
+    source uses, so late/reordered driver packets are counted in
+    ``late_dropped`` rather than mis-binned. ``realtime=True`` paces
+    emission to the recording cadence. The tail partial window is flushed
+    at end of file like :class:`SocketSource` does at disconnect.
+    """
+
+    def __init__(self, paths, *, window_s: float = 0.05,
+                 n_windows: Optional[int] = None, realtime: bool = False):
+        if isinstance(paths, (str, os.PathLike)):
+            paths = {"left": os.fspath(paths)}
+        self.paths: Dict[str, str] = {e: os.fspath(p)
+                                      for e, p in paths.items()}
+        self.eyes = tuple(self.paths)
+        self.window_s = float(window_s)
+        self.n_windows = n_windows
+        self.realtime = realtime
+        self.late_dropped = 0
+        for p in self.paths.values():
+            if not os.path.exists(p):
+                raise FileNotFoundError(p)
+
+    def __iter__(self) -> Iterator[Window]:
+        asm = _WindowAssembler(self.eyes, self.window_s)
+        streams = {e: aedat31_packets(p) for e, p in self.paths.items()}
+        heads: Dict[str, Optional[np.ndarray]] = {}
+        for e, it in streams.items():
+            heads[e] = next(it, None)
+        emitted = 0
+
+        def _drain():
+            nonlocal emitted
+            while asm.ready():
+                self.late_dropped = asm.late_dropped
+                if self.realtime:
+                    time.sleep(self.window_s)
+                yield asm.emit()
+                emitted += 1
+                if self.n_windows and emitted >= self.n_windows:
+                    return
+
+        # merge packets across eyes by start timestamp so the shared
+        # window clock (t0 = first event seen) is well-defined for stereo
+        while any(h is not None for h in heads.values()):
+            eye = min((e for e, h in heads.items() if h is not None),
+                      key=lambda e: heads[e][0, 2])
+            asm.add(eye, heads[eye])
+            heads[eye] = next(streams[eye], None)
+            yield from _drain()
+            if self.n_windows and emitted >= self.n_windows:
+                return
+        # a shorter eye can leave SEVERAL buffered windows (ready() waits
+        # for every eye): drain them all, like SocketSource at disconnect
+        while not (self.n_windows and emitted >= self.n_windows):
+            tail = asm.flush()
+            self.late_dropped = asm.late_dropped
+            if tail is None:
+                break
+            yield tail
+            emitted += 1
+
+
+def write_aedat31(path: str, events_xytp: np.ndarray, *,
+                  events_per_packet: int = 4096,
+                  header_comment: str = "stereospike_tpu writer") -> None:
+    """Write [N, 4] XYTP rows (t in float seconds, p in {0,1}) as a valid
+    AEDAT 3.1 polarity-event file — the inverse of
+    :func:`aedat31_packets`, used to build test fixtures and to export
+    synthetic streams for vendor tooling. Timestamps past 2³¹ µs spill
+    into the packet header's eventTSOverflow field exactly as cAER does."""
+    ev = np.asarray(events_xytp, np.float64)
+    if ev.ndim != 2 or ev.shape[1] != 4:
+        raise ValueError(f"events must be [N, 4] XYTP, got {ev.shape}")
+    t_us = np.round(ev[:, 2] * 1e6).astype(np.int64)
+    if (np.diff(t_us) < 0).any():
+        raise ValueError("timestamps must be monotone non-decreasing")
+    data = (np.uint32(1)                                  # valid bit
+            | ((ev[:, 3] != 0).astype(np.uint32) << 1)    # polarity
+            | ((ev[:, 1].astype(np.uint32) & 0x7FFF) << 2)    # y
+            | ((ev[:, 0].astype(np.uint32) & 0x7FFF) << 17))  # x
+    with open(path, "wb") as f:
+        f.write(AEDAT31_MAGIC)
+        f.write(b"#" + header_comment.encode() + b"\r\n")
+        f.write(AEDAT31_END_HEADER)
+        for lo in range(0, ev.shape[0], events_per_packet):
+            sl = slice(lo, lo + events_per_packet)
+            chunk_t = t_us[sl]
+            # one packet may not span an overflow boundary (the header
+            # carries a single tsoverflow): split at the wrap if needed
+            start = 0
+            while start < chunk_t.size:
+                over = int(chunk_t[start] >> 31)
+                same = np.nonzero((chunk_t[start:] >> 31) != over)[0]
+                end = start + (int(same[0]) if same.size else
+                               chunk_t.size - start)
+                n = end - start
+                rec = np.empty(n, _AEDAT31_POLARITY_DTYPE)
+                rec["data"] = data[sl][start:end]
+                rec["ts"] = (chunk_t[start:end] & 0x7FFFFFFF).astype(
+                    np.int32)
+                f.write(AEDAT31_PACKET_HEADER.pack(
+                    AEDAT31_POLARITY_TYPE, 0,
+                    _AEDAT31_POLARITY_DTYPE.itemsize, 4, over, n, n, n))
+                f.write(rec.tobytes())
+                start = end

@@ -48,6 +48,9 @@ class TrainConfig:
     # (None = materialize the full table, the reference's behavior)
     event_block_rows: Optional[int] = None
     normalize: bool = False
+    # TensorBoard event files next to the JSONL sink (train.py:173,272-273,
+    # 344-345); auto-disabled when the tensorboard package is absent
+    tensorboard: bool = True
     # --synthetic fixture sizing (data/fixtures.py::make_mvsec_fixture):
     # depth frames + events per sequence, and whether the generated scene is
     # learnable (event density + stereo disparity correlated with depth) —

@@ -465,7 +465,8 @@ def train_loop(
             [firing_rates_sequence(p, chunks, model_cfg)[k]
              for k in TAP_NAMES]))
 
-    logger = MetricsLogger(cfg.checkpoint_dir)
+    logger = MetricsLogger(cfg.checkpoint_dir,
+                           tensorboard=cfg.tensorboard)
     logger.text(
         f"model={cfg.model} params={count_params(params):,} "
         f"devices={len(jax.devices())} steps/epoch={steps_per_epoch} "
@@ -663,7 +664,8 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
     results = {"test_loss": float(tot[0]) / max(n_samples, 1),
                "test_MDE": float(tot[1]) / max(n_samples, 1),
                "n_batches": n, "n_samples": n_samples}
-    logger = MetricsLogger(cfg.checkpoint_dir, name="test")
+    logger = MetricsLogger(cfg.checkpoint_dir, name="test",
+                           tensorboard=cfg.tensorboard)
     logger.log(results)
     logger.text(f"Test loss: {results['test_loss']:.4f}  "
                 f"Test MDE (m): {results['test_MDE']:.4f}")
@@ -704,7 +706,8 @@ def firing_rates_loop(cfg: TrainConfig, *, synthetic: bool = False,
         n += 1
     out = {k: float(v) / max(n, 1) for k, v in zip(TAP_NAMES, acc)}
 
-    logger = MetricsLogger(cfg.checkpoint_dir, name="firing_rates")
+    logger = MetricsLogger(cfg.checkpoint_dir, name="firing_rates",
+                           tensorboard=cfg.tensorboard)
     logger.log(out)
     enc = np.mean([out[k] for k in TAP_NAMES[:6]])
     dec = np.mean([out[k] for k in TAP_NAMES[6:]])
@@ -721,6 +724,7 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 save_video: Optional[str] = None, aer_format: str = "TXYP",
                 listen: Optional[str] = None, source=None,
                 reply: bool = False, artifact: Optional[str] = None,
+                aedat: Optional[str] = None,
                 which: str = "best.msgpack") -> Dict:
     """Streaming-serving driver: feed event windows through the
     :class:`~stereospike_tpu.streaming.StreamingEvaluator` (the low-latency
@@ -729,9 +733,10 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
     Sources (:mod:`stereospike_tpu.sources`): ``synthetic`` random windows;
     ``events_dir`` — a DENSE-format ``events/data/*.npy`` directory (TXYP,
     one file per window; monocular); ``listen`` — ``"host:port"`` (or just
-    ``"port"``) to accept a live SPKE-protocol TCP event feed; or an
-    explicit ``source`` iterable of per-eye window dicts. Writes per-window
-    latencies to JSONL and optionally a depth-map mp4.
+    ``"port"``) to accept a live SPKE-protocol TCP event feed; ``aedat``
+    — an AEDAT 3.1 recording path (or ``"left,right"`` paths for a stereo
+    rig); or an explicit ``source`` iterable of per-eye window dicts.
+    Writes per-window latencies to JSONL and optionally a depth-map mp4.
 
     ``artifact``: serve from an exported ``.ssx`` deployment artifact
     (``cli export-serving``) instead of live params — geometry (eyes,
@@ -777,6 +782,16 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
                                   eyes=eyes, window_s=window_s,
                                   reconnect=(n_windows <= 0))
         max_windows = n_windows if n_windows > 0 else None
+    elif aedat is not None:
+        paths = [p for p in aedat.split(",") if p]
+        if len(paths) != len(eyes):
+            raise ValueError(
+                f"model {cfg.model} consumes {len(eyes)} eye(s) "
+                f"({'/'.join(eyes)}); --aedat got {len(paths)} path(s) — "
+                "pass one AEDAT 3.1 file per eye, comma-separated")
+        source = src.AedatFileSource(dict(zip(eyes, paths)),
+                                     window_s=window_s,
+                                     n_windows=n_windows or None)
     elif events_dir is not None:
         if binocular:
             raise ValueError("events_dir is a monocular (DENSE-format) "
@@ -791,8 +806,8 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         window_s = source.window_s
     else:
         if not synthetic:
-            raise ValueError(
-                "need --synthetic, an events_dir, or a --listen source")
+            raise ValueError("need --synthetic, an events_dir, an --aedat "
+                             "recording, or a --listen source")
         hw_eff = (tuple(evaluator.artifact.meta["in_hw"])
                   if evaluator is not None else tuple(cfg.in_hw))
         source = src.SyntheticSource(
@@ -888,7 +903,8 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
         "video": save_video if save_video and depths else None,
         "total_time_s": round(time.time() - t_prev, 3),
     }
-    logger = MetricsLogger(cfg.checkpoint_dir, name="stream")
+    logger = MetricsLogger(cfg.checkpoint_dir, name="stream",
+                           tensorboard=cfg.tensorboard)
     logger.log(results)
     logger.close()
     return results
@@ -937,7 +953,8 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 777),
                                  jax.process_index())  # see train_loop
 
-    logger = MetricsLogger(cfg.checkpoint_dir)
+    logger = MetricsLogger(cfg.checkpoint_dir,
+                           tensorboard=cfg.tensorboard)
     logger.text(f"model={cfg.model} (ANN {ann_cfg.activation}) "
                 f"params={count_params(params):,} "
                 f"steps/epoch={steps_per_epoch} batch={cfg.batch_size}")
@@ -1067,7 +1084,8 @@ def _ann_eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
     results = {"test_loss": float(tot[0]) / max(n_samples, 1),
                "test_MDE": float(tot[1]) / max(n_samples, 1),
                "n_batches": n, "n_samples": n_samples}
-    logger = MetricsLogger(cfg.checkpoint_dir, name="test")
+    logger = MetricsLogger(cfg.checkpoint_dir, name="test",
+                           tensorboard=cfg.tensorboard)
     logger.log(results)
     logger.text(f"Test loss: {results['test_loss']:.4f}  "
                 f"Test MDE (m): {results['test_MDE']:.4f}")

@@ -611,3 +611,30 @@ def test_blended_and_mosaic_videos(tmp_path):
     # grayscale blended previews are accepted too
     blended_video(depth.astype(np.uint8), depth.astype(np.uint8),
                   str(tmp_path / "gray.mp4"))
+
+
+def test_metrics_logger_writes_tensorboard_events(tmp_path):
+    """The reference logs TB scalars (train.py:173,272-273,344-345): when
+    the tensorboard package is importable the logger writes real event
+    files next to the JSONL sink; tensorboard=False keeps them off."""
+    pytest.importorskip("tensorboard")
+    from stereospike_tpu.utils.logging import MetricsLogger
+
+    d = str(tmp_path / "tb_on")
+    logger = MetricsLogger(d, name="training")
+    logger.log({"train_loss": 1.5, "train_MDE": 0.3, "note": "str-skipped"},
+               epoch=0)
+    logger.log({"train_loss": 1.2, "train_MDE": 0.2}, epoch=1)
+    logger.close()
+    tb_dir = os.path.join(d, "tb_training")
+    files = os.listdir(tb_dir)
+    assert len(files) == 1 and files[0].startswith("events.out.tfevents")
+    raw = open(os.path.join(tb_dir, files[0]), "rb").read()
+    assert b"train_loss" in raw and b"train_MDE" in raw
+    assert b"note" not in raw
+
+    d2 = str(tmp_path / "tb_off")
+    logger = MetricsLogger(d2, name="training", tensorboard=False)
+    logger.log({"train_loss": 1.0}, epoch=0)
+    logger.close()
+    assert not os.path.exists(os.path.join(d2, "tb_training"))

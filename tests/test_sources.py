@@ -517,3 +517,205 @@ def test_recv_depth_returns_none_on_midpacket_death():
         assert recv_depth(b) is None
     finally:
         b.close()
+
+
+# ------------------------------------------------------------ AEDAT 3.1
+
+def test_aedat_roundtrip_monocular(tmp_path):
+    """write_aedat31 -> AedatFileSource is lossless: x/y/p exact, t to the
+    format's µs resolution, windows sliced on the window_s grid with
+    relativized timestamps (same contract as every other source)."""
+    from stereospike_tpu.sources import AedatFileSource, write_aedat31
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    ev = np.stack([
+        rng.integers(0, HW[1], n).astype(np.float64),
+        rng.integers(0, HW[0], n).astype(np.float64),
+        np.sort(rng.uniform(0.0, 0.25, n)),
+        rng.choice([0.0, 1.0], n)], axis=1)
+    path = str(tmp_path / "mono.aedat")
+    write_aedat31(path, ev, events_per_packet=512)
+
+    src = AedatFileSource(path, window_s=0.05)
+    wins = list(src)
+    assert src.eyes == ("left",)
+    assert 5 <= len(wins) <= 6          # 0.25 s / 0.05 s (+ partial tail)
+    got = np.concatenate([w["left"] for w in wins])
+    assert got.shape[0] == n
+    # x/y/p are exact through the 15-bit address packing
+    t_us = np.round(ev[:, 2] * 1e6)
+    order = np.argsort(t_us, kind="stable")
+    np.testing.assert_array_equal(got[:, 0], ev[order, 0])
+    np.testing.assert_array_equal(got[:, 1], ev[order, 1])
+    np.testing.assert_array_equal(got[:, 3], ev[order, 3])
+    # timestamps: window-relative, µs-exact vs the written stamps
+    t0 = t_us[order][0] * 1e-6
+    abs_got = np.concatenate(
+        [w["left"][:, 2].astype(np.float64) + t0 + i * src.window_s
+         for i, w in enumerate(wins)])
+    np.testing.assert_allclose(abs_got, t_us[order] * 1e-6, atol=2e-6)
+    assert src.late_dropped == 0
+
+
+def test_aedat_timestamp_overflow_boundary(tmp_path):
+    """Timestamps past 2^31 µs spill into the packet header's
+    eventTSOverflow field; the parser must reassemble the absolute µs
+    clock exactly across the wrap (a recording longer than ~35.8 min)."""
+    from stereospike_tpu.sources import AedatFileSource, write_aedat31
+
+    wrap_s = float(1 << 31) * 1e-6
+    ts = wrap_s + np.linspace(-0.02, 0.02, 400)  # spans the wrap
+    ev = np.stack([np.full(400, 3.0), np.full(400, 4.0),
+                   ts, np.ones(400)], axis=1)
+    path = str(tmp_path / "wrap.aedat")
+    write_aedat31(path, ev, events_per_packet=128)
+
+    src = AedatFileSource(path, window_s=0.05)
+    wins = list(src)
+    got = np.concatenate([w["left"] for w in wins])
+    assert got.shape[0] == 400
+    # monotone absolute time across the overflow: the emitted window spans
+    # [t0, t0+0.05) with strictly non-decreasing relative stamps
+    rel = np.concatenate([w["left"][:, 2] for w in wins])
+    assert (np.diff(rel) >= 0).all()
+    assert src.late_dropped == 0
+
+
+def test_aedat_stereo_merges_eyes_on_one_clock(tmp_path):
+    """One file per eye: packets are merged by timestamp so both eyes share
+    the window clock, exactly like the live binocular SPKE feed."""
+    from stereospike_tpu.sources import AedatFileSource, write_aedat31
+
+    rng = np.random.default_rng(1)
+    n = 2000
+    base = np.sort(rng.uniform(0.0, 0.15, n))
+    left = np.stack([rng.integers(0, HW[1], n).astype(np.float64),
+                     rng.integers(0, HW[0], n).astype(np.float64),
+                     base, np.zeros(n)], axis=1)
+    right = left.copy()
+    right[:, 0] = np.clip(left[:, 0] - 2, 0, HW[1] - 1)
+    lp, rp = str(tmp_path / "l.aedat"), str(tmp_path / "r.aedat")
+    write_aedat31(lp, left, events_per_packet=256)
+    write_aedat31(rp, right, events_per_packet=256)
+
+    src = AedatFileSource({"left": lp, "right": rp}, window_s=0.05)
+    wins = list(src)
+    assert src.eyes == ("left", "right")
+    assert len(wins) == 3
+    for w in wins:
+        assert w["left"].shape == w["right"].shape
+        assert w["left"].shape[0] > 0
+        # same clock: per-window relative stamps agree across eyes
+        np.testing.assert_allclose(w["left"][:, 2], w["right"][:, 2],
+                                   atol=2e-6)
+
+
+def test_aedat_skips_invalid_events_and_foreign_packets(tmp_path):
+    """The parser must honor the per-event valid bit and skip non-polarity
+    packets (IMU/frame/special) rather than misparse them."""
+    import struct
+
+    from stereospike_tpu.sources import (
+        AEDAT31_END_HEADER,
+        AEDAT31_MAGIC,
+        AEDAT31_PACKET_HEADER,
+        AedatFileSource,
+        write_aedat31,
+    )
+
+    ev = np.stack([np.arange(10, dtype=np.float64),
+                   np.full(10, 2.0),
+                   np.linspace(0.0, 0.01, 10),
+                   np.ones(10)], axis=1)
+    path = str(tmp_path / "mixed.aedat")
+    write_aedat31(path, ev)
+    raw = open(path, "rb").read()
+    hdr_end = raw.index(AEDAT31_END_HEADER) + len(AEDAT31_END_HEADER)
+    # splice in: a foreign packet (type 3 = IMU-ish, 16-byte events) and a
+    # polarity packet whose only event has the valid bit CLEAR
+    foreign = AEDAT31_PACKET_HEADER.pack(3, 0, 16, 4, 0, 2, 2, 2) + b"\0" * 32
+    invalid = (AEDAT31_PACKET_HEADER.pack(1, 0, 8, 4, 0, 1, 1, 0)
+               + struct.pack("<Ii", (5 << 17) | (6 << 2) | 0, 100))
+    with open(path, "wb") as f:
+        f.write(raw[:hdr_end] + foreign + invalid + raw[hdr_end:])
+
+    wins = list(AedatFileSource(path, window_s=0.05))
+    got = np.concatenate([w["left"] for w in wins])
+    assert got.shape[0] == 10                      # invalid event dropped
+    np.testing.assert_array_equal(got[:, 0], ev[:, 0])
+
+
+def test_aedat_rejects_truncation_and_wrong_magic(tmp_path):
+    from stereospike_tpu.sources import AedatFileSource, write_aedat31
+
+    ev = np.stack([np.zeros(4), np.zeros(4),
+                   np.linspace(0, 1e-3, 4), np.ones(4)], axis=1)
+    good = str(tmp_path / "good.aedat")
+    write_aedat31(good, ev)
+
+    bad_magic = str(tmp_path / "bad.aedat")
+    with open(bad_magic, "wb") as f:
+        f.write(b"#!AER-DAT2.0\r\n" + b"\0" * 64)
+    with pytest.raises(ValueError, match="AEDAT 3.1"):
+        list(AedatFileSource(bad_magic))
+
+    trunc = str(tmp_path / "trunc.aedat")
+    with open(trunc, "wb") as f:
+        f.write(open(good, "rb").read()[:-5])
+    with pytest.raises(ValueError, match="truncated"):
+        list(AedatFileSource(trunc))
+
+    with pytest.raises(FileNotFoundError):
+        AedatFileSource(str(tmp_path / "nope.aedat"))
+
+
+def test_stream_loop_aedat_end_to_end(tmp_path):
+    """CLI --aedat path: an AEDAT 3.1 recording served through the full
+    stream_loop driver (monocular), with eye-count validation."""
+    from stereospike_tpu.sources import write_aedat31
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import stream_loop
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    ev = np.stack([
+        rng.integers(0, HW[1], n).astype(np.float64),
+        rng.integers(0, HW[0], n).astype(np.float64),
+        np.sort(rng.uniform(0.0, 0.14, n)),
+        rng.choice([0.0, 1.0], n)], axis=1)
+    path = str(tmp_path / "cam.aedat")
+    write_aedat31(path, ev)
+
+    cfg = TrainConfig(model="stereospike_monocular", in_hw=HW,
+                      checkpoint_dir=str(tmp_path), multiply_factor=10.0)
+    out = stream_loop(cfg, aedat=path, pipeline=0)
+    assert out["n_windows"] == 3
+    assert out["late_events"] == 0
+
+    cfg_bin = TrainConfig(model="stereospike", in_hw=HW,
+                          checkpoint_dir=str(tmp_path),
+                          multiply_factor=10.0)
+    with pytest.raises(ValueError, match="per eye"):
+        stream_loop(cfg_bin, aedat=path, pipeline=0)
+
+
+def test_aedat_stereo_short_eye_drains_all_buffered_windows(tmp_path):
+    """A stereo recording whose right eye ends early leaves multiple
+    windows buffered (ready() waits for every eye): EOF must drain them
+    all, exactly like SocketSource at producer disconnect."""
+    from stereospike_tpu.sources import AedatFileSource, write_aedat31
+
+    n = 900
+    t_left = np.linspace(0.0, 0.24, n)             # ~5 windows
+    left = np.stack([np.full(n, 1.0), np.full(n, 2.0),
+                     t_left, np.ones(n)], axis=1)
+    right = left[:60].copy()                        # dies in window 0
+    lp, rp = str(tmp_path / "l.aedat"), str(tmp_path / "r.aedat")
+    write_aedat31(lp, left)
+    write_aedat31(rp, right)
+
+    wins = list(AedatFileSource({"left": lp, "right": rp}, window_s=0.05))
+    assert len(wins) == 5
+    assert sum(w["left"].shape[0] for w in wins) == n
+    assert sum(w["right"].shape[0] for w in wins) == 60
