@@ -8,4 +8,6 @@ from stereospike_tpu.parallel.mesh import (  # noqa: F401
     make_sharded_train_step,
     make_shardmap_train_step,
     make_sharded_eval_step,
+    make_sharded_ann_train_step,
+    make_sharded_ann_eval_step,
 )

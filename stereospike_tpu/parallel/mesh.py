@@ -129,3 +129,50 @@ def make_sharded_eval_step(eval_fn, mesh: Mesh, spatial: bool = True):
     out_sh = {"loss": rep, "mde": rep,
               "depth": NamedSharding(mesh, spec["gt"])}
     return jax.jit(eval_fn, in_shardings=(rep, batch_sh), out_shardings=out_sh)
+
+
+# --------------------------------------------------------------- ANN steps
+# The equivalent-ANN baseline (reference ANN_models.py:28-152) carries
+# BatchNorm running statistics, which raises the one semantics question DP
+# has for this model family: per-replica vs global batch statistics. Under
+# GSPMD the answer is free and exact — the batch is sharded by ANNOTATION
+# (not shard_map), so `jnp.mean` over the sharded batch/H axes lowers to a
+# global reduction (XLA inserts the collective), and BN statistics are
+# GLOBAL-batch: data-parallel ANN training is bit-for-tolerance identical
+# to single-device (pinned by tests/test_ann_warmup.py), unlike torch
+# DDP's default per-replica BatchNorm.
+
+def _ann_state_shardings(mesh: Mesh):
+    from stereospike_tpu.train.ann_steps import AnnTrainState
+
+    rep = NamedSharding(mesh, P())
+    return AnnTrainState(params=rep, bn_state=rep, opt_state=rep,
+                         step=rep, epoch=rep, best_metric=rep)
+
+
+def make_sharded_ann_train_step(step_fn, mesh: Mesh, spatial: bool = False,
+                                donate: bool = False):
+    """jit the ANN ``step(state, batch)`` over the mesh: params + BN state
+    replicated, batch data(+spatial)-sharded; the BN batch statistics and
+    the gradient all-reduce both come out of GSPMD's partitioner."""
+    spec = batch_spec(spatial)
+    batch_sh = {k: NamedSharding(mesh, v) for k, v in spec.items()}
+    state_sh = _ann_state_shardings(mesh)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, {"loss": rep, "mde": rep}),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_sharded_ann_eval_step(eval_fn, mesh: Mesh, spatial: bool = False):
+    """jit the ANN ``eval(params, bn_state, batch)`` over the mesh."""
+    spec = batch_spec(spatial)
+    batch_sh = {k: NamedSharding(mesh, v) for k, v in spec.items()}
+    rep = NamedSharding(mesh, P())
+    out_sh = {"loss": rep, "mde": rep,
+              "depth": NamedSharding(mesh, spec["gt"])}
+    return jax.jit(eval_fn, in_shardings=(rep, rep, batch_sh),
+                   out_shardings=out_sh)

@@ -97,6 +97,12 @@ class TrainConfig:
     # large effective batches on bounded HBM. Mean-of-microbatch-gradient
     # semantics (see train/steps.py:make_train_step)
     accum_steps: int = 1
+    # staged input pipeline: a background worker preps (assembles, uploads,
+    # augments, shards) up to this many batches ahead of the step in flight —
+    # the TPU analog of the reference's DataLoader workers + pin_memory
+    # (train.py:100). 0 = synchronous prep. Bit-identical to 0 by
+    # construction (single worker preserves the augmentation key order).
+    prefetch: int = 2
     # no-grad warmup inference before the train chunks (train.py:223-228)
     use_warmup: bool = False
     # seed the depth integrators with the previous GT

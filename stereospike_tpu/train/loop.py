@@ -263,6 +263,103 @@ def _device_setup(cfg: TrainConfig):
     return None
 
 
+class _Prefetcher:
+    """Bounded background input stage for the training loops.
+
+    The reference overlaps host-side input work with device compute via
+    DataLoader workers + ``pin_memory=True`` (train.py:100). Here a single
+    worker thread walks the batch iterator and runs ``prep`` — host numpy
+    assembly, H2D transfer (``jnp.asarray``), augmentation dispatch,
+    sharding — for up to ``depth`` batches ahead, while the main thread
+    keeps the chip fed with already-staged batches. Without it, every
+    step serializes: [assemble batch → upload → dispatch] × N; with it,
+    batch N+1's assembly+upload rides under step N's device execution
+    (measured end to end in benchmarks/production_loop_throughput.json).
+
+    One worker (not a pool) on purpose: ``prep`` splits the augmentation
+    PRNG key per batch, and a single thread preserves the split order, so
+    training is bit-identical to the synchronous path (pinned by
+    tests/test_train_slice.py::test_prefetch_matches_synchronous).
+    ``depth=0`` degrades to synchronous inline prep (no thread).
+    """
+
+    _DONE = object()
+
+    def __init__(self, it, prep_fn, depth: int = 2):
+        self._it, self._prep, self._depth = it, prep_fn, max(int(depth), 0)
+        self._thread = None
+        if self._depth == 0:
+            return
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=self._depth)
+        self._stop = threading.Event()
+        self._err = []
+
+        def work():
+            try:
+                for b in self._it:
+                    staged = self._prep(b)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                self._err.append(e)
+            finally:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(self._DONE, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=work, daemon=True,
+                                        name="stereospike-prefetch")
+        self._thread.start()
+
+    def __iter__(self):
+        if self._depth == 0:
+            for b in self._it:
+                yield self._prep(b)
+            return
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                break
+            yield item
+        if self._err:
+            raise self._err[0]
+
+    def close(self) -> None:
+        """Stop the worker and drop any staged-but-unconsumed batches
+        (their device buffers free with them). Early loop exits —
+        max_steps, preemption — land here via the context manager."""
+        if self._thread is None:
+            return
+        self._stop.set()
+        import queue
+
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+
 class _PreemptionGuard:
     """SIGTERM → finish the in-flight step, checkpoint, exit cleanly.
 
@@ -510,27 +607,32 @@ def train_loop(
             step_metrics = []
             preempt_now = False
             base_off = resume_skip if epoch == start_epoch else 0
-            skip = base_off
-            for batch in _batch_iter(cfg, train_view, shard_over_processes=True,
-                                     shuffle=True, seed=cfg.seed + epoch):
-                if skip:
-                    # mid-epoch resume: replay the seed-deterministic batch
-                    # order up to the preemption point without training, and
-                    # burn the matching augmentation split so every later
-                    # batch draws the key the uninterrupted run would have
-                    skip -= 1
-                    if cfg.augment:
-                        aug_key, _ = jax.random.split(aug_key)
-                    continue
-                state, metrics = train_step(state, prep(batch))
-                step_metrics.append((metrics["loss"], metrics["mde"]))
-                steps_done += 1
-                if max_steps is not None and steps_done >= max_steps:
-                    done = True
+            batch_it = iter(_batch_iter(cfg, train_view,
+                                        shard_over_processes=True,
+                                        shuffle=True, seed=cfg.seed + epoch))
+            for _ in range(base_off):
+                # mid-epoch resume: replay the seed-deterministic batch
+                # order up to the preemption point without training, and
+                # burn the matching augmentation split so every later
+                # batch draws the key the uninterrupted run would have.
+                # Runs BEFORE the prefetch worker starts splitting keys.
+                if next(batch_it, None) is None:
                     break
-                if _preempt_sync(guard, steps_done):
-                    preempt_now = True
-                    break
+                if cfg.augment:
+                    aug_key, _ = jax.random.split(aug_key)
+            # staged input pipeline: batch N+1's assembly + H2D upload ride
+            # under step N's (async-dispatched) device execution
+            with _Prefetcher(batch_it, prep, depth=cfg.prefetch) as staged:
+                for batch in staged:
+                    state, metrics = train_step(state, batch)
+                    step_metrics.append((metrics["loss"], metrics["mde"]))
+                    steps_done += 1
+                    if max_steps is not None and steps_done >= max_steps:
+                        done = True
+                        break
+                    if _preempt_sync(guard, steps_done):
+                        preempt_now = True
+                        break
             if preempt_now:
                 # preemption: persist the exact resume point NOW — including
                 # the within-epoch batch cursor, so --resume continues this
@@ -638,10 +740,15 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
 
     params = _load_params(cfg, model_cfg, which)
 
-    eval_step = jax.jit(make_eval_step(model_cfg, loss_cfg,
-                                       learn_on=cfg.learn_on,
-                                       compute_dtype=_compute_dtype(cfg),
-                                       multistep=cfg.multistep))
+    base_eval = make_eval_step(model_cfg, loss_cfg, learn_on=cfg.learn_on,
+                               compute_dtype=_compute_dtype(cfg),
+                               multistep=cfg.multistep)
+    eval_step_local = jax.jit(base_eval)
+    mesh = _device_setup(cfg)  # offline eval honors the same mesh contract
+    spatial = mesh is not None and mesh.devices.shape[1] > 1
+    eval_step_sharded = (make_sharded_eval_step(base_eval, mesh,
+                                                spatial=spatial)
+                         if mesh is not None else None)
     # eval_step returns per-sample means; weight by the batch's sample count
     # so batch_size>1 + drop_last=False reproduce the reference's per-sample
     # accumulation (test.py:157-173) exactly
@@ -652,7 +759,10 @@ def eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
     for batch in _batch_iter(cfg, test_view, drop_last=False):
         b = {k: jnp.asarray(batch[k]) for k in ("chunks", "gt", "mask")}
         bsz = batch["gt"].shape[0]
-        out = eval_step(params, b)
+        use_mesh = mesh is not None and bsz % mesh.devices.shape[0] == 0
+        if use_mesh:
+            b = shard_batch(b, mesh, spatial=spatial)
+        out = (eval_step_sharded if use_mesh else eval_step_local)(params, b)
         stats.append((out["loss"] * bsz, out["mde"] * bsz))
         if cfg.save_viz and n % cfg.save_viz == 0:
             _save_viz_panel(
@@ -943,12 +1053,34 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
         state = restore_checkpoint(cfg.checkpoint_dir, state)
 
-    # donate the state (the loop only threads the returned one forward)
-    train_step = jax.jit(make_ann_train_step(ann_cfg, loss_cfg, tx,
-                                             learn_on=cfg.learn_on),
-                         donate_argnums=(0,))
-    eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
-                                           learn_on=cfg.learn_on))
+    # multi-device: same mesh contract as the SNN loop. BN batch statistics
+    # stay GLOBAL-batch under the data axis (GSPMD lowers the sharded-axis
+    # mean to a global reduction), so DP ANN training is semantics-identical
+    # to single-device — see parallel/mesh.py ANN section.
+    mesh = _device_setup(cfg)
+    spatial = mesh is not None and mesh.devices.shape[1] > 1
+    base_train = make_ann_train_step(ann_cfg, loss_cfg, tx,
+                                     learn_on=cfg.learn_on)
+    base_eval = make_ann_eval_step(ann_cfg, loss_cfg, learn_on=cfg.learn_on)
+    eval_step_local = jax.jit(base_eval)
+    if mesh is not None:
+        from stereospike_tpu.parallel import (
+            make_sharded_ann_eval_step,
+            make_sharded_ann_train_step,
+        )
+
+        train_step = make_sharded_ann_train_step(base_train, mesh,
+                                                 spatial=spatial, donate=True)
+        eval_step_sharded = make_sharded_ann_eval_step(base_eval, mesh,
+                                                       spatial=spatial)
+    else:
+        # donate the state (the loop only threads the returned one forward)
+        train_step = jax.jit(base_train, donate_argnums=(0,))
+        eval_step_sharded = None
+
+    def eval_divisible(bsz: int) -> bool:
+        return mesh is not None and bsz % mesh.devices.shape[0] == 0
+
     aug = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig()))
     aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 777),
                                  jax.process_index())  # see train_loop
@@ -959,13 +1091,16 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 f"params={count_params(params):,} "
                 f"steps/epoch={steps_per_epoch} batch={cfg.batch_size}")
 
-    def prep(batch: Dict, train: bool = True) -> Dict:
+    def prep(batch: Dict, train: bool = True, shard: bool = True) -> Dict:
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if cfg.augment and train:
             nonlocal aug_key
             aug_key, k = jax.random.split(aug_key)
             batch = aug(k, batch)
-        return {k: batch[k] for k in ("chunks", "gt", "mask")}
+        batch = {k: batch[k] for k in ("chunks", "gt", "mask")}
+        if mesh is not None and shard:
+            batch = shard_batch(batch, mesh, spatial=spatial)
+        return batch
 
     done = False
     summary: Dict = {}
@@ -979,23 +1114,25 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
             step_metrics = []
             preempt_now = False
             base_off = resume_skip if epoch == start_epoch else 0
-            skip = base_off
-            for batch in _batch_iter(cfg, train_view, shard_over_processes=True,
-                                     shuffle=True, seed=cfg.seed + epoch):
-                if skip:  # mid-epoch resume: see train_loop
-                    skip -= 1
-                    if cfg.augment:
-                        aug_key, _ = jax.random.split(aug_key)
-                    continue
-                state, metrics = train_step(state, prep(batch))
-                step_metrics.append((metrics["loss"], metrics["mde"]))
-                steps_done += 1
-                if max_steps is not None and steps_done >= max_steps:
-                    done = True
+            batch_it = iter(_batch_iter(cfg, train_view,
+                                        shard_over_processes=True,
+                                        shuffle=True, seed=cfg.seed + epoch))
+            for _ in range(base_off):  # mid-epoch resume: see train_loop
+                if next(batch_it, None) is None:
                     break
-                if _preempt_sync(guard, steps_done):
-                    preempt_now = True
-                    break
+                if cfg.augment:
+                    aug_key, _ = jax.random.split(aug_key)
+            with _Prefetcher(batch_it, prep, depth=cfg.prefetch) as staged:
+                for batch in staged:
+                    state, metrics = train_step(state, batch)
+                    step_metrics.append((metrics["loss"], metrics["mde"]))
+                    steps_done += 1
+                    if max_steps is not None and steps_done >= max_steps:
+                        done = True
+                        break
+                    if _preempt_sync(guard, steps_done):
+                        preempt_now = True
+                        break
             if preempt_now:  # see train_loop: checkpoint now, skip val
                 save_checkpoint(
                     cfg.checkpoint_dir, state,
@@ -1012,7 +1149,12 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
             n_val = 0
             for batch in _batch_iter(cfg, val_view, drop_last=False):
                 bsz = batch["gt"].shape[0]
-                out = eval_step(state.params, state.bn_state, prep(batch, False))
+                # a short final batch (drop_last=False) need not divide over
+                # the data axis; remainders run on the single-device step
+                use_mesh = eval_divisible(bsz)
+                step = eval_step_sharded if use_mesh else eval_step_local
+                out = step(state.params, state.bn_state,
+                           prep(batch, train=False, shard=use_mesh))
                 val_stats.append((out["loss"] * bsz, out["mde"] * bsz))
                 n_val += bsz
             va = _fetch_sums(val_stats)
@@ -1065,14 +1207,26 @@ def _ann_eval_loop(cfg: TrainConfig, *, synthetic: bool = False, data=None,
                 {"params": params, "bn_state": bn_state}, which)
             params, bn_state = restored["params"], restored["bn_state"]
 
-    eval_step = jax.jit(make_ann_eval_step(ann_cfg, loss_cfg,
-                                           learn_on=cfg.learn_on))
+    base_eval = make_ann_eval_step(ann_cfg, loss_cfg, learn_on=cfg.learn_on)
+    eval_step_local = jax.jit(base_eval)
+    mesh = _device_setup(cfg)  # same multi-device contract as eval_loop
+    spatial = mesh is not None and mesh.devices.shape[1] > 1
+    eval_step_sharded = None
+    if mesh is not None:
+        from stereospike_tpu.parallel import make_sharded_ann_eval_step
+
+        eval_step_sharded = make_sharded_ann_eval_step(base_eval, mesh,
+                                                       spatial=spatial)
     n_samples = n = 0
     stats = []  # async accumulation, see eval_loop
     for batch in _batch_iter(cfg, test_view, drop_last=False):
         b = {k: jnp.asarray(batch[k]) for k in ("chunks", "gt", "mask")}
         bsz = batch["gt"].shape[0]
-        out = eval_step(params, bn_state, b)
+        use_mesh = mesh is not None and bsz % mesh.devices.shape[0] == 0
+        if use_mesh:
+            b = shard_batch(b, mesh, spatial=spatial)
+        out = (eval_step_sharded if use_mesh else eval_step_local)(
+            params, bn_state, b)
         stats.append((out["loss"] * bsz, out["mde"] * bsz))
         if cfg.save_viz and n % cfg.save_viz == 0:
             _save_viz_panel(

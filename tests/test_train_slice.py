@@ -308,6 +308,50 @@ def test_grad_accumulation_composes_with_shard_map():
         np.asarray(st_ref.params["bottom"]["w"]), rtol=1e-4, atol=1e-6)
 
 
+def test_prefetch_matches_synchronous(tmp_path):
+    """The staged input pipeline (prefetch>0) must be bit-identical to
+    synchronous prep: one worker thread preserves the augmentation
+    PRNG-split order, so final params, losses, and the checkpoint agree
+    exactly — backgrounding is a latency optimization, never a semantics
+    change."""
+    from stereospike_tpu.train.checkpoint import restore_params
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import train_loop
+
+    outs, params = [], []
+    for depth in (0, 3):
+        ckdir = str(tmp_path / f"pf{depth}")
+        cfg = TrainConfig(model="stereospike_tempo", in_hw=(48, 64),
+                          batch_size=2, epochs=2, prefetch=depth,
+                          augment=True, synth_frames=10,
+                          checkpoint_dir=ckdir)
+        outs.append(train_loop(cfg, synthetic=True))
+        tpl = init_params(jax.random.PRNGKey(0),
+                          stereospike_tempo(in_hw=(48, 64)))
+        params.append(restore_params(ckdir, tpl, "latest.msgpack"))
+    assert outs[0]["train_loss"] == outs[1]["train_loss"], outs
+    assert outs[0]["val_MDE"] == outs[1]["val_MDE"], outs
+    for a, b in zip(jax.tree.leaves(params[0]), jax.tree.leaves(params[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_prefetch_early_break_stops_worker(tmp_path):
+    """max_steps mid-epoch must close the prefetch worker cleanly (no
+    orphan thread holding device buffers) and still report finite stats."""
+    import threading
+
+    from stereospike_tpu.train.config import TrainConfig
+    from stereospike_tpu.train.loop import train_loop
+
+    cfg = TrainConfig(model="stereospike_tempo", in_hw=(48, 64),
+                      batch_size=2, epochs=1, prefetch=2,
+                      checkpoint_dir=str(tmp_path))
+    out = train_loop(cfg, synthetic=True, max_steps=1)
+    assert np.isfinite(out["train_loss"])
+    assert not [t for t in threading.enumerate()
+                if t.name == "stereospike-prefetch" and t.is_alive()]
+
+
 def test_grad_accumulation_with_multistep():
     """accum + the layer-major multistep path: the microbatch tree split
     covers the [B, T, ...] chunks axis 0 and the step runs end to end."""
