@@ -181,6 +181,10 @@ def main(argv=None) -> int:
                            help="replay an AEDAT 3.1 recording (iniVation "
                                 "DAVIS/DVS); one path, or left,right paths "
                                 "for a stereo rig")
+            p.add_argument("--realtime", action="store_true",
+                           help="pace --aedat replay to the recording "
+                                "cadence (one window per window_s) instead "
+                                "of serving as fast as the chip allows")
             p.add_argument("--listen", type=str, default=None,
                            help="accept a live SPKE-protocol TCP event feed "
                                 "on host:port (or just a port); see "
@@ -335,7 +339,8 @@ def main(argv=None) -> int:
             n_windows=args.n_windows, pipeline=args.pipeline,
             save_video=args.save_video, aer_format=args.aer_format,
             listen=args.listen, reply=args.reply,
-            artifact=args.artifact, aedat=args.aedat)))
+            artifact=args.artifact, aedat=args.aedat,
+            realtime=args.realtime)))
     return 0
 
 

@@ -443,9 +443,13 @@ def aedat31_packets(path: str) -> Iterator[np.ndarray]:
             raise ValueError(f"{path} is not an AEDAT 3.1 file "
                              f"(header {first[:20]!r})")
         line = first
-        while line.startswith(b"#"):
-            if line.startswith(b"#!END-HEADER"):
-                break
+        while not line.startswith(b"#!END-HEADER"):
+            if not line.startswith(b"#"):
+                # a header line that is neither a comment nor the
+                # terminator means the file is corrupt — parsing binary
+                # packets from here would read from a wrong offset
+                raise ValueError(f"{path}: malformed header line "
+                                 f"{line[:40]!r} before #!END-HEADER")
             line = f.readline()
             if not line:
                 raise ValueError(f"{path}: header never terminated "
@@ -549,6 +553,8 @@ class AedatFileSource:
             self.late_dropped = asm.late_dropped
             if tail is None:
                 break
+            if self.realtime:  # tail windows pace like the main loop's
+                time.sleep(self.window_s)
             yield tail
             emitted += 1
 
@@ -565,14 +571,28 @@ def write_aedat31(path: str, events_xytp: np.ndarray, *,
     if ev.ndim != 2 or ev.shape[1] != 4:
         raise ValueError(f"events must be [N, 4] XYTP, got {ev.shape}")
     t_us = np.round(ev[:, 2] * 1e6).astype(np.int64)
+    if ev.size and t_us[0] < 0:
+        raise ValueError("timestamps must be non-negative")
     if (np.diff(t_us) < 0).any():
         raise ValueError("timestamps must be monotone non-decreasing")
+    # the polarity word carries 15 bits per coordinate: masking would
+    # silently corrupt out-of-range (or negative, via the uint cast)
+    # coordinates — fail loudly like the timestamp checks above
+    for axis, name in ((0, "x"), (1, "y")):
+        col = ev[:, axis]
+        if col.size and ((col < 0).any() or (col >= 2 ** 15).any()):
+            raise ValueError(
+                f"{name} coordinates must be in [0, 2^15); got range "
+                f"[{col.min():g}, {col.max():g}]")
     data = (np.uint32(1)                                  # valid bit
             | ((ev[:, 3] != 0).astype(np.uint32) << 1)    # polarity
             | ((ev[:, 1].astype(np.uint32) & 0x7FFF) << 2)    # y
             | ((ev[:, 0].astype(np.uint32) & 0x7FFF) << 17))  # x
     with open(path, "wb") as f:
         f.write(AEDAT31_MAGIC)
+        # the customary header fields vendor tooling (dv / jAER) expects
+        f.write(b"#Format: RAW\r\n")
+        f.write(b"#Source 0: " + header_comment.encode() + b"\r\n")
         f.write(b"#" + header_comment.encode() + b"\r\n")
         f.write(AEDAT31_END_HEADER)
         for lo in range(0, ev.shape[0], events_per_packet):

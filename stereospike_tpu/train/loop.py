@@ -834,7 +834,7 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 save_video: Optional[str] = None, aer_format: str = "TXYP",
                 listen: Optional[str] = None, source=None,
                 reply: bool = False, artifact: Optional[str] = None,
-                aedat: Optional[str] = None,
+                aedat: Optional[str] = None, realtime: bool = False,
                 which: str = "best.msgpack") -> Dict:
     """Streaming-serving driver: feed event windows through the
     :class:`~stereospike_tpu.streaming.StreamingEvaluator` (the low-latency
@@ -901,7 +901,8 @@ def stream_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 "pass one AEDAT 3.1 file per eye, comma-separated")
         source = src.AedatFileSource(dict(zip(eyes, paths)),
                                      window_s=window_s,
-                                     n_windows=n_windows or None)
+                                     n_windows=n_windows or None,
+                                     realtime=realtime)
     elif events_dir is not None:
         if binocular:
             raise ValueError("events_dir is a monocular (DENSE-format) "

@@ -82,6 +82,14 @@ class MetricsLogger:
         self._tb_step = 0
         if self.active:
             os.makedirs(log_dir, exist_ok=True)
+            # seed the fallback TB step from the number of records already
+            # in the JSONL sink (wall-clock-free run metadata): step-less
+            # loggers (eval/firing-rates/stream) re-run into the same dir
+            # get distinct, increasing global_steps instead of every run
+            # stacking its points at step 0
+            if os.path.exists(self.jsonl_path):
+                with open(self.jsonl_path) as f:
+                    self._tb_step = sum(1 for _ in f)
             self._jsonl = open(self.jsonl_path, "a")
             self._text = open(self.text_path, "a")
             if tensorboard:
@@ -102,9 +110,15 @@ class MetricsLogger:
         self._jsonl.flush()
         if self._tb is not None:
             # global_step: explicit step, else epoch, else a running count
-            tb_step = (step if step is not None
-                       else epoch if epoch is not None else self._tb_step)
-            self._tb_step += 1
+            # (advanced only when actually used — an explicit step must not
+            # burn fallback indices)
+            if step is not None:
+                tb_step = step
+            elif epoch is not None:
+                tb_step = epoch
+            else:
+                tb_step = self._tb_step
+                self._tb_step += 1
             self._tb.scalars({k: v for k, v in rec.items()
                               if k not in ("time", "step", "epoch")},
                              int(tb_step), rec["time"])

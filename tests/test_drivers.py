@@ -638,3 +638,40 @@ def test_metrics_logger_writes_tensorboard_events(tmp_path):
     logger.log({"train_loss": 1.0}, epoch=0)
     logger.close()
     assert not os.path.exists(os.path.join(d2, "tb_training"))
+
+
+def test_metrics_logger_tb_steps_distinct_across_reruns(tmp_path):
+    """Step-less loggers (eval/firing-rates/stream) re-run into the same
+    directory must emit TB events at DISTINCT, increasing global_steps —
+    seeded from the JSONL record count — instead of stacking every run's
+    point at step 0. Explicit steps pass through unchanged and do not
+    advance the fallback counter."""
+    from stereospike_tpu.utils import logging as ulog
+
+    calls = []
+
+    class SpyTB:
+        def scalars(self, scalars, step, wall_time):
+            calls.append(step)
+
+        def close(self):
+            pass
+
+    orig = ulog._TBWriter.create
+    ulog._TBWriter.create = staticmethod(lambda d: SpyTB())
+    try:
+        d = str(tmp_path)
+        for _ in range(3):  # three successive step-less runs (e.g. cli eval)
+            logger = ulog.MetricsLogger(d, name="test")
+            logger.log({"test_MDE": 0.5})
+            logger.close()
+        assert calls == [0, 1, 2]
+
+        calls.clear()
+        logger = ulog.MetricsLogger(d, name="test")
+        logger.log({"a": 1.0}, step=42)   # explicit step passes through
+        logger.log({"a": 2.0})            # fallback unaffected by it
+        logger.close()
+        assert calls == [42, 3]
+    finally:
+        ulog._TBWriter.create = orig

@@ -719,3 +719,56 @@ def test_aedat_stereo_short_eye_drains_all_buffered_windows(tmp_path):
     assert len(wins) == 5
     assert sum(w["left"].shape[0] for w in wins) == n
     assert sum(w["right"].shape[0] for w in wins) == 60
+
+
+def test_aedat_rejects_malformed_header_line(tmp_path):
+    """A header line that is neither a '#' comment nor #!END-HEADER means
+    the file is corrupt; parsing binary packets from that offset would
+    silently serve garbage — the parser must fail loudly instead."""
+    from stereospike_tpu.sources import AEDAT31_MAGIC, AedatFileSource
+
+    path = str(tmp_path / "corrupt.aedat")
+    with open(path, "wb") as f:
+        f.write(AEDAT31_MAGIC)
+        f.write(b"#Format: RAW\r\n")
+        f.write(b"not a header line\r\n")   # corruption before END-HEADER
+        f.write(b"#!END-HEADER\r\n")
+    with pytest.raises(ValueError, match="malformed header"):
+        list(AedatFileSource(path))
+
+
+def test_write_aedat31_validates_coordinates_and_time(tmp_path):
+    """The polarity word has 15 address bits per axis: out-of-range or
+    negative coordinates (and negative timestamps) must raise instead of
+    being silently masked/cast into wrong addresses."""
+    from stereospike_tpu.sources import write_aedat31
+
+    def ev(x=1.0, y=2.0, t=0.0):
+        return np.array([[x, y, t, 1.0]])
+
+    path = str(tmp_path / "w.aedat")
+    for bad in (ev(x=-1.0), ev(x=float(2 ** 15)), ev(y=-3.0),
+                ev(y=float(2 ** 15 + 7))):
+        with pytest.raises(ValueError, match="coordinates"):
+            write_aedat31(path, bad)
+    with pytest.raises(ValueError, match="non-negative"):
+        write_aedat31(path, ev(t=-0.5))
+    write_aedat31(path, ev(x=2.0 ** 15 - 1, y=0.0))  # boundary values OK
+
+
+def test_write_aedat31_header_has_vendor_fields(tmp_path):
+    """Exported files carry the customary '#Format:' / '#Source' header
+    lines so vendor tooling (dv / jAER) accepts them, and the parser reads
+    its own output back."""
+    from stereospike_tpu.sources import AedatFileSource, write_aedat31
+
+    ev = np.stack([np.arange(8, dtype=np.float64), np.full(8, 3.0),
+                   np.linspace(0, 0.01, 8), np.ones(8)], axis=1)
+    path = str(tmp_path / "hdr.aedat")
+    write_aedat31(path, ev, header_comment="unit-test rig")
+    head = open(path, "rb").read(256)
+    assert head.startswith(b"#!AER-DAT3.1\r\n")
+    assert b"#Format: RAW\r\n" in head
+    assert b"#Source 0: unit-test rig\r\n" in head
+    wins = list(AedatFileSource(path, window_s=0.05))
+    assert sum(w["left"].shape[0] for w in wins) == 8
