@@ -89,6 +89,8 @@ def main(n_windows: int = 50, events_per_window: int = 30000) -> dict:
 
     # multi-stream batched serving: S cameras per device step — the
     # per-chip throughput mode (amortizes dispatch + lifts B=1 inefficiency)
+    import jax.numpy as jnp
+
     multi_stats = {}
     for S in (4, 8):
         evm = StreamingEvaluator(params, cfg, block=1 << 16,
@@ -108,10 +110,36 @@ def main(n_windows: int = 50, events_per_window: int = 30000) -> dict:
         while evm.flush() is not None:
             pass
         per_window = float(np.mean(ts)) * 1e3
+
+        # ON-DEVICE decomposition for S streams (same method as the S=1
+        # on_device_step_ms below): chain the jitted S-stream step with
+        # state carry and device-resident event blocks, sync once at the
+        # end. Each camera receives one depth per step, so a locally-
+        # attached chip serves all S cameras in real time iff the chained
+        # step is < 50 ms — the end-to-end interval above additionally
+        # pays this backend's per-step tunnel H2D/D2H.
+        w0 = window(0)
+        evs_s = {e: jnp.asarray(
+            np.stack([evm._pad(w0[e])[0]] * S)) for e in ("left", "right")}
+        vals_s = {e: jnp.asarray(
+            np.stack([evm._pad(w0[e])[1]] * S)) for e in ("left", "right")}
+        state = evm._init_state()
+        depth, state, _ = evm._step(params, state, evs_s, vals_s)  # compile
+        np.asarray(depth)
+        n_dev = 30
+        t0 = time.perf_counter()
+        for _ in range(n_dev):
+            depth, state, _ = evm._step(params, state, evs_s, vals_s)
+        np.asarray(depth)  # one sync for the whole chain
+        dev_ms = (time.perf_counter() - t0) / n_dev * 1e3
+
         multi_stats[S] = {
             "interval_ms_per_step": round(per_window, 3),
             "interval_ms_per_stream": round(per_window / S, 3),
             "streams_realtime_capable": bool(per_window < 50.0),
+            "on_device_step_ms": round(dev_ms, 3),
+            "on_device_ms_per_stream": round(dev_ms / S, 3),
+            "device_realtime_capable": bool(dev_ms < 50.0),
         }
 
     # decompose the floor: fetch round-trip of a fresh tiny device buffer
