@@ -213,14 +213,20 @@ def forward_multistep(
     xdec = out_rconv
     for scale in (4, 3, 2, 1):
         if scale == 1 and use_s2d:
-            xdec = fire("deconv1", _apply_scale(
-                upsample_conv_s2d_out(xdec, params["deconv1"]["w"],
-                                      target_hw=sizes[0]),
-                params["deconv1"], ms))
+            if cfg.use_poly_deconv1:
+                from stereospike_tpu.nn.poly_route import upsample_conv_s2d_poly
+
+                up1 = upsample_conv_s2d_poly(xdec, params["deconv1"]["w"],
+                                             target_hw=sizes[0])
+            else:
+                up1 = upsample_conv_s2d_out(xdec, params["deconv1"]["w"],
+                                            target_hw=sizes[0])
+            xdec = fire("deconv1", _apply_scale(up1, params["deconv1"], ms))
         else:
             xdec = fire(f"deconv{scale}", upsample_conv_scale(
                 xdec, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
-                static_scale=ms, phase=cfg.phase_upsample))
+                static_scale=ms, phase=cfg.phase_upsample,
+                poly=cfg.poly_deconv))
         if cfg.use_skips:
             xdec = xdec + skips[scale - 1]
         last = step_slice(xdec, T - 1)

@@ -107,6 +107,24 @@ class StereoSpikeConfig:
     # made phase-stacking lose under BPTT — nn/layers.space_to_depth).
     # Math-identical up to float reassociation; auto-disabled for odd in_hw.
     s2d_level0: bool = True
+    # polyphase deconv1 (nn/poly_route.py): the upsample-conv composite
+    # collapsed to one low-res 3×3 pattern conv (2.8× fewer MACs) + copy-
+    # speed routing with a hand-transposed VJP. Same math up to float
+    # reassociation (float64-pinned); measured at the production deconv1
+    # site (B=128 bf16, v5e): 16.5→10.1 ms fwd (1.63×), 42.5→32.1 ms
+    # fwd+bwd (1.32×) — benchmarks/pallas_poly_deconv.json. Auto-falls
+    # back to the composite when an axis is not ~2× or the level 0 is
+    # not s2d-canonical.
+    poly_deconv1: bool = True
+    # polyphase for the INNER decoder sites deconv2/3/4 (odd target axes:
+    # phase buffer + depth-to-space crop, nn/poly_route.py,
+    # layers.upsample_conv poly=True). OFF by default: measured at the
+    # production inner sites the d2s epilogue + fix-ups eat the MAC win
+    # (fwd+bwd 0.94×/0.96×/1.02× vs the composite,
+    # benchmarks/pallas_poly_deconv.json inner_sites) — deconv1 wins only
+    # because its s2d consumer makes the phase buffer the FINAL layout.
+    # Kept as a knob for shapes where the ratio differs.
+    poly_deconv: bool = False
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -141,6 +159,13 @@ class StereoSpikeConfig:
         """The s2d execution layout needs even level-0 dims (260×346 ✓)."""
         return bool(self.s2d_level0
                     and self.in_hw[0] % 2 == 0 and self.in_hw[1] % 2 == 0)
+
+    @property
+    def use_poly_deconv1(self) -> bool:
+        from stereospike_tpu.nn.poly_route import poly_supported
+
+        return bool(self.poly_deconv1 and self.use_s2d_level0
+                    and poly_supported(self.sizes[1], self.sizes[0], 5))
 
     @property
     def effective_sew_neuron(self) -> str:
@@ -330,16 +355,25 @@ def forward(
     x = out_rconv
     for scale in (4, 3, 2, 1):
         if scale == 1 and use_s2d:
-            # phase-stacked upsample-conv landing directly in the s2d layout
+            # upsample-conv landing directly in the s2d layout: polyphase
+            # (2.8× fewer MACs, nn/poly_route.py) or the phase-stacked
+            # composite; both relayout-free
+            if cfg.use_poly_deconv1:
+                from stereospike_tpu.nn.poly_route import upsample_conv_s2d_poly
+
+                up1 = upsample_conv_s2d_poly(x, params["deconv1"]["w"],
+                                             target_hw=sizes[0])
+            else:
+                up1 = upsample_conv_s2d_out(x, params["deconv1"]["w"],
+                                            target_hw=sizes[0])
             x = tap("out_deconv1", fire("deconv1", _apply_scale(
-                upsample_conv_s2d_out(x, params["deconv1"]["w"],
-                                      target_hw=sizes[0]),
-                params["deconv1"], ms)))
+                up1, params["deconv1"], ms)))
         else:
             x = tap(f"out_deconv{scale}", fire(f"deconv{scale}",
                     upsample_conv_scale(
                         x, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
-                        static_scale=ms, phase=cfg.phase_upsample)))
+                        static_scale=ms, phase=cfg.phase_upsample,
+                        poly=cfg.poly_deconv)))
         if cfg.use_skips:
             x = x + skips[scale - 1]
         x = tap(f"out_add{scale}", x)

@@ -71,12 +71,13 @@ def conv_scale(x: Array, params: dict, *, stride: int = 1, padding: int = 0,
 
 def upsample_conv_scale(x: Array, params: dict, *, target_hw: Tuple[int, int],
                         static_scale: float = 1.0, mode: str = "nearest",
-                        phase: bool = False) -> Array:
+                        phase: bool = False, poly: bool = False) -> Array:
     """NNConvUpsampling → MultiplyBy (pre-neuron charge of a decoder block).
-    ``phase`` opts into the phase-stacked inference form (see
+    ``phase`` opts into the phase-stacked inference form, ``poly`` into the
+    polyphase route where the shape supports it (see
     ``layers.upsample_conv``)."""
     out = upsample_conv(x, params["w"], params.get("b"), target_hw=target_hw,
-                        mode=mode, phase=phase)
+                        mode=mode, phase=phase, poly=poly)
     return _apply_scale(out, params, static_scale)
 
 

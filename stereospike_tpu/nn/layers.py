@@ -415,6 +415,7 @@ def upsample_conv(
     target_hw: Tuple[int, int],
     mode: str = "nearest",
     phase: bool = False,
+    poly: bool = False,
 ) -> Array:
     """NN-upsample-then-valid-conv anti-checkerboard upsampling.
 
@@ -423,6 +424,12 @@ def upsample_conv(
     ``mode='bilinear'`` gives the ANN's ``BilinConvUpsampling``
     (align_corners=True, ``blocks.py:30``). Single-output-channel heads take
     the factorized path (:func:`_upsample_conv_1out`).
+
+    ``poly=True`` takes the polyphase route (``nn/poly_route.py``: one
+    low-res pattern conv at 2.8× fewer MACs + copy-speed routing) whenever
+    the shape supports it (both axes ~2×) — math-identical up to float
+    reassociation. Falls through silently otherwise, mirroring the
+    ``s2d_level0`` auto-disable convention.
 
     ``phase=True`` lets small-C_out sites with even target dims take the
     phase-stacked form (:func:`_upsample_conv_phased`). Measured on a v5e
@@ -433,6 +440,14 @@ def upsample_conv(
     """
     if mode == "nearest" and w.shape[-1] == 1:
         return _upsample_conv_1out(x, w, b, target_hw)
+    if mode == "nearest" and poly:
+        from stereospike_tpu.nn.poly_route import (
+            poly_supported_any,
+            upsample_conv_poly,
+        )
+
+        if poly_supported_any((x.shape[1], x.shape[2]), target_hw, w.shape[0]):
+            return upsample_conv_poly(x, w, b, target_hw=target_hw)
     if mode == "nearest" and phase:
         py, px = _phase_factors(target_hw, w.shape[-1])
         if (py, px) != (1, 1):

