@@ -5,6 +5,8 @@ step-major ``forward_sequence`` outputs (depths, last-step spikes, final
 state) and gradients. On CPU the Pallas kernels run in interpret mode.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,6 +92,46 @@ def test_multistep_gradients_match_stepmajor():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-2, atol=1e-3,
             err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STEREOSPIKE_FULLRES_F64"),
+    reason="~35 min of single-core float64 CPU convs (compute-bound, the "
+           "persistent compile cache does not help); run explicitly with "
+           "STEREOSPIKE_FULLRES_F64=1 — committed evidence in "
+           "benchmarks/multistep_f64_fullres.json")
+def test_scan_equals_layermajor_float64_full_resolution():
+    """Scan vs layer-major at the REAL shape (T=5, 260x346, one batch) in
+    float64.
+
+    On-chip at bf16 the two layouts diverge measurably
+    (depth_rel_l2 0.135, benchmarks/multistep_parity_tpu.json — threshold
+    flips under reduction reorder); this pins that the divergence is pure
+    low-precision reassociation noise, not a composition bug: at float64
+    and the same realistic shape the layouts agree to 1e-9."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cfg = stereospike_tempo(in_hw=(260, 346), multiply_factor=10.0)
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.float64),
+                              init_params(jax.random.PRNGKey(0), cfg))
+        frames = jax.random.poisson(
+            jax.random.PRNGKey(5), 0.6,
+            (1, 5) + cfg.in_hw + (cfg.in_channels,)).astype(jnp.float64)
+
+        d_ref, s_ref, st_ref = forward_sequence(params, frames, cfg)
+        d_ms, s_ms, st_ms = forward_multistep(params, frames, cfg,
+                                              use_pallas=False)
+        for a, b in zip(d_ms, d_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-9)
+        for a, b in zip(s_ms, s_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(st_ms["Ineurons"]),
+                                   np.asarray(st_ref["Ineurons"]),
+                                   rtol=1e-9, atol=1e-9)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def test_multistep_state_carry():
