@@ -60,7 +60,8 @@ def main():
     spike_fn = make_spike_fn("atan", None)
     results = {}
 
-    def record(name, macs, fwd_fn, make_args, *, grad_argnums=(0, 1)):
+    def record(name, macs, fwd_fn, make_args, *, grad_argnums=(0, 1),
+               production=True):
         # the reduction must be NONLINEAR: with a plain sum the cotangent is
         # constant and XLA dead-code-eliminates the primal forward from the
         # grad program, so "fwd+bwd" would silently measure backward-only
@@ -76,6 +77,12 @@ def main():
             "fwd_tflops": round(2 * macs / t_f / 1e12, 1),
             "fwd_bwd_ms": round(t_fb * 1e3, 3),
             "fwd_bwd_tflops": round(3 * 2 * macs / t_fb / 1e12, 1),
+            # True = the form the shipped default config (s2d_level0=True)
+            # actually executes; False = a superseded/alternative execution
+            # form kept for comparison. Sum production rows to approximate
+            # the production step (isolated-jit sums overestimate: XLA fuses
+            # across sites in the whole-step program).
+            "production": production,
         }
         print(name, results[name], flush=True)
 
@@ -96,7 +103,9 @@ def main():
         record(name, macs,
                lambda x, w, s=s: conv2d(x, w, stride=s, padding=2),
                lambda hw=hw, ci=ci, co=co: (rnd((B,) + hw + (ci,)),
-                                            rnd((5, 5, ci, co))))
+                                            rnd((5, 5, ci, co))),
+               # bottom/conv1 run in the s2d forms under the shipped default
+               production=name not in ("bottom", "conv1"))
 
     # SEW conv (k3, pad 1) at bottleneck
     macs = B * sizes[4][0] * sizes[4][1] * 9 * c[4] * c[4]
@@ -113,7 +122,8 @@ def main():
         record(f"deconv{sc}", macs,
                lambda x, w, tgt=tgt: upsample_conv(x, w, target_hw=tgt),
                lambda hw_in=hw_in, ci=ci, co=co: (rnd((B,) + hw_in + (ci,)),
-                                                  rnd((5, 5, ci, co))))
+                                                  rnd((5, 5, ci, co))),
+               production=sc != 1)  # deconv1 ships as the s2d form
 
     # the s2d-canonical level-0 production forms (models/stereospike.py
     # default): expanded-kernel bottom/conv1 + relayout-free phase deconv1
@@ -133,6 +143,16 @@ def main():
     macs = B * up1f[0] * up1f[1] * 25 * c[1] * c[0]
     record("deconv1_s2d", macs,
            lambda x, w: upsample_conv_s2d_out(x, w, target_hw=sizes[0]),
+           lambda: (rnd((B,) + sizes[1] + (c[1],)), rnd((5, 5, c[1], c[0]))),
+           production=False)  # superseded by the polyphase default below
+
+    # deconv1 as the shipped default executes it: polyphase into s2d layout
+    # (poly_deconv1=True; MAC count is the composite's for comparability —
+    # the poly form does ~2.8x fewer, so its "achieved TFLOP/s" overstates)
+    from stereospike_tpu.nn.poly_route import upsample_conv_s2d_poly
+
+    record("deconv1_poly", macs,
+           lambda x, w: upsample_conv_s2d_poly(x, w, target_hw=sizes[0]),
            lambda: (rnd((B,) + sizes[1] + (c[1],)), rnd((5, 5, c[1], c[0]))))
 
     # the bare selection-matmul upsample for the largest decoder level
@@ -150,7 +170,16 @@ def main():
         record(f"pred{sc}", macs,
                lambda x, w: upsample_conv(x, w, target_hw=sizes[0]),
                lambda hw_in=hw_in, ci=ci: (rnd((B,) + hw_in + (ci,)),
-                                           rnd((3, 3, ci, 1))))
+                                           rnd((3, 3, ci, 1))),
+               production=sc != 1)  # pred1 ships as the s2d-input form
+
+    # pred1 as the shipped default executes it: s2d-layout input
+    from stereospike_tpu.nn.layers import _upsample_conv_1out_s2d
+
+    macs = B * sizes[0][0] * sizes[0][1] * 9 * c[0]
+    record("pred1_s2d", macs,
+           lambda x, w: _upsample_conv_1out_s2d(x, w, None, sizes[0]),
+           lambda: (rnd((B,) + s2 + (4 * c[0],)), rnd((3, 3, c[0], 1))))
 
     # neuron elementwise chain at the two largest sites (HBM-bound)
     for name, hw, ch in (("if_fire_L0", sizes[0], c[0]),
@@ -197,9 +226,15 @@ def main():
     results["adam_update"] = {"fwd_ms": round(timeit(adam, st, grads) * 1e3, 3)}
     print("adam_update", results["adam_update"], flush=True)
 
+    prod_sum = sum(v["fwd_bwd_ms"] for v in results.values()
+                   if v.get("production") and "fwd_bwd_ms" in v)
     report = {"batch": B, "dtype": "bfloat16", "iters": ITERS,
               "device_kind": jax.devices()[0].device_kind,
               "backend": jax.default_backend(),
+              # sum of production=True conv-site fwd+bwd rows: an UPPER
+              # bound on the production step's conv time (isolated jits
+              # forgo cross-site fusion; fire/loss/adam rows extra)
+              "production_conv_fwd_bwd_ms_sum": round(prod_sum, 1),
               "sites": results}
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "per_site_timing.json")

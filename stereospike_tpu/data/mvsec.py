@@ -166,6 +166,13 @@ def load_sequence(
     split tables (used by the synthetic fixtures)."""
     import h5py
 
+    if normalize and pack_uint8:
+        import warnings
+
+        warnings.warn(
+            "normalize=True keeps count frames float32 — the pack_uint8 "
+            "4x host-RAM/H2D saving does not apply to normalized frames",
+            stacklevel=2)
     tables = load_split_tables() if tables is None else tables
     seq_name = f"{scenario}{sequence}"
     start, end = tables["frame_ranges"][scenario][f"split{split}"][seq_name]
