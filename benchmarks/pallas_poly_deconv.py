@@ -146,6 +146,59 @@ def main():
             row["composite_fwd_bwd_ms"] / row["polyphase_fwd_bwd_ms"], 3)
         report["inner_sites"][site] = row
         print(site, row, flush=True)
+    # ---- whole-step batch sweep: the polyphase DUS routing is batch-
+    # sensitive (its copy chain amortizes per-copy overhead only at large
+    # leading dims). Full production train step (fwd+bwd+adam, bf16),
+    # poly forced on (poly_min_batch=0) vs off, at the configs that ship:
+    # B=128 T=1 (headline), B=80 T=1 (matched-frames baseline), B=16 T=5
+    # scan+remat, B=16 T=5 layer-major multistep (leading dim T·B=80).
+    # These ratios set the model's poly_min_batch=128 routing gate
+    # (models/stereospike.py).
+    import dataclasses
+
+    from stereospike_tpu.data import synthetic_batch
+    from stereospike_tpu.models import init_params, stereospike
+    from stereospike_tpu.objectives import TotalLossConfig
+    from stereospike_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    def step_fps(batch, T, poly, multistep=False, remat=False, iters=12):
+        cfg = stereospike(poly_deconv1=poly, poly_min_batch=0)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        tx = make_optimizer(2e-4)
+        state = create_train_state(params, tx, jax.random.PRNGKey(1))
+        data = synthetic_batch(jax.random.PRNGKey(2), batch=batch,
+                               in_hw=cfg.in_hw, T=T)
+        step = jax.jit(make_train_step(cfg, TotalLossConfig(), tx,
+                                       compute_dtype=jnp.bfloat16,
+                                       multistep=multistep, remat=remat),
+                       donate_argnums=(0,))
+        for _ in range(3):
+            state, m = step(state, data)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, m = step(state, data)
+        float(m["loss"])
+        return batch * T * iters / (time.perf_counter() - t0)
+
+    report["batch_sweep"] = {}
+    for name, kw in (("B128_T1_leading128", dict(batch=128, T=1)),
+                     ("B80_T1_leading80", dict(batch=80, T=1)),
+                     ("B16_T5_scan_remat_leading16",
+                      dict(batch=16, T=5, remat=True)),
+                     ("B16_T5_multistep_leading80",
+                      dict(batch=16, T=5, multistep=True))):
+        on = step_fps(poly=True, **kw)
+        off = step_fps(poly=False, **kw)
+        row = {"poly_fps": round(on, 1), "composite_fps": round(off, 1),
+               "poly_over_composite": round(on / off, 3)}
+        report["batch_sweep"][name] = row
+        print(name, row, flush=True)
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "pallas_poly_deconv.json")
     with open(out, "w") as f:

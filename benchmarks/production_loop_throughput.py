@@ -12,6 +12,13 @@ pipeline (``_Prefetcher``: batch N+1's host assembly + H2D upload ride
 under step N's async-dispatched device execution — the TPU analog of the
 reference's DataLoader workers + ``pin_memory=True``, train.py:100).
 
+Round 4 also moved the time-mirror swap to the HOST
+(``train/loop._upload_augmented`` + ``data/augmentation.time_mirror_flags``):
+init_pots/init_mask — 36% of a default batch's bytes, consumed only by
+that swap — no longer upload at all, bit-identically to the all-device
+augmentation (tests/test_data_pipeline.py::
+test_host_mirror_swap_path_bit_identical).
+
 This benchmark drives the FULL production ``train_loop`` — fixture hdf5 on
 disk, B=128, augmentation on, JSONL/text logging, checkpointing, per-epoch
 validation — and decomposes the remaining gap:
@@ -128,6 +135,7 @@ def measure_prep(views):
     key = jax.random.PRNGKey(0)
 
     assemble_ms, h2d_ms, aug_ms, mb = [], [], [], 0.0
+    h2d_triple_ms, mb_triple = [], 0.0
     it = batches(views[0], B, binocular=True, n_timesteps=1, shuffle=True,
                  seed=0)
     for i, batch in enumerate(it):
@@ -146,17 +154,28 @@ def measure_prep(views):
         out = aug(k, dev)
         float(out["gt"].ravel()[0])
         t3 = time.perf_counter()
+        # what the production input path actually uploads since the
+        # host-side time-mirror swap (train/loop._upload_augmented):
+        # chunks/gt/mask only — init_pots/init_mask stay on host
+        triple = {k2: np_batch[k2] for k2 in ("chunks", "gt", "mask")}
+        dev_t = {k2: jnp.asarray(v) for k2, v in triple.items()}
+        float(dev_t["gt"].ravel()[0])
+        t4 = time.perf_counter()
         if i >= 1:  # first iteration pays compile/caches
             assemble_ms.append((t1 - t0) * 1e3)
             h2d_ms.append((t2 - t1) * 1e3)
             aug_ms.append((t3 - t2) * 1e3)
+            h2d_triple_ms.append((t4 - t3) * 1e3)
             mb = sum(v.nbytes for v in np_batch.values()) / 1e6
+            mb_triple = sum(v.nbytes for v in triple.values()) / 1e6
     return {
         "batch_mb": round(mb, 1),
         "assemble_ms": round(float(np.median(assemble_ms)), 1),
         "h2d_blocked_ms": round(float(np.median(h2d_ms)), 1),
         "h2d_mbps": round(mb / (np.median(h2d_ms) / 1e3), 0),
         "augment_blocked_ms": round(float(np.median(aug_ms)), 1),
+        "uploaded_mb": round(mb_triple, 1),
+        "uploaded_h2d_blocked_ms": round(float(np.median(h2d_triple_ms)), 1),
     }
 
 

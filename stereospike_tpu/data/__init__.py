@@ -16,5 +16,9 @@ from stereospike_tpu.data.mvsec import (  # noqa: F401
     load_split_tables,
 )
 from stereospike_tpu.data.dense import DenseDataset, dense_batches, load_dense  # noqa: F401
-from stereospike_tpu.data.augmentation import AugmentConfig, augment_batch  # noqa: F401
+from stereospike_tpu.data.augmentation import (  # noqa: F401
+    AugmentConfig,
+    augment_batch,
+    time_mirror_flags,
+)
 from stereospike_tpu.data.fixtures import make_dense_fixture, make_mvsec_fixture  # noqa: F401

@@ -20,7 +20,7 @@ Batch layout: ``chunks`` [B, T, H, W, C] with C channel-stacked eye-major
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,8 +67,14 @@ def _mirror_channels(x: Array, eyes: int) -> Array:
 
 
 def random_time_mirror(key: Array, batch: Dict, p: float = 0.5,
-                       eyes: int = 2) -> Dict:
-    flag = jax.random.uniform(key, (batch["gt"].shape[0],)) < p
+                       eyes: int = 2, flag: Optional[Array] = None) -> Dict:
+    """``flag`` (precomputed per-sample mirror decisions) replaces the
+    internal Bernoulli draw — the host-side-swap input path draws the SAME
+    flags up front (:func:`time_mirror_flags`), applies the gt<->init_pots
+    swap on host before upload, and passes the flags here so only the
+    chunk/warmup mirroring runs on device."""
+    if flag is None:
+        flag = jax.random.uniform(key, (batch["gt"].shape[0],)) < p
     out = dict(batch)
     if "warmup" in batch:
         # chronological order is [warmup | chunks]; mirroring reverses the
@@ -130,12 +136,34 @@ class AugmentConfig:
     eyes: int = 2
 
 
-def augment_batch(key: Array, batch: Dict, cfg: AugmentConfig = AugmentConfig()) -> Dict:
-    """Compose all transforms (jit-friendly; fold into the train step)."""
+def time_mirror_flags(key: Array, batch_size: int,
+                      cfg: AugmentConfig = AugmentConfig()) -> Array:
+    """The EXACT per-sample mirror decisions :func:`augment_batch` would
+    draw from ``key`` — same key split, same uniform draw. Lets the input
+    stage apply the gt<->init_pots swap on HOST and skip uploading
+    init_pots/init_mask (36% of a default batch's bytes; the upload-bound
+    production loop's biggest input cost, see
+    benchmarks/production_loop_throughput.json), then run the rest of the
+    augmentation on device via ``augment_batch(..., mirror_flag=flags)``
+    bit-identically to the all-device path (the swap commutes with the
+    spatial flips: they apply the same transform to gt and init_pots)."""
+    k3 = jax.random.split(key, 4)[2]
+    return jax.random.uniform(k3, (batch_size,)) < cfg.time_mirror_p
+
+
+def augment_batch(key: Array, batch: Dict,
+                  cfg: AugmentConfig = AugmentConfig(),
+                  mirror_flag: Optional[Array] = None) -> Dict:
+    """Compose all transforms (jit-friendly; fold into the train step).
+
+    ``mirror_flag``: precomputed time-mirror decisions
+    (:func:`time_mirror_flags`) for the host-side-swap input path; the
+    flip/drop draws still come from ``key`` exactly as without it."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     batch = random_horizontal_flip(k1, batch, cfg.hflip_p)
     batch = random_vertical_flip(k2, batch, cfg.vflip_p)
-    batch = random_time_mirror(k3, batch, cfg.time_mirror_p, cfg.eyes)
+    batch = random_time_mirror(k3, batch, cfg.time_mirror_p, cfg.eyes,
+                               flag=mirror_flag)
     batch = random_event_drop(k4, batch, cfg.event_drop_p,
                               cfg.min_drop_rate, cfg.max_drop_rate)
     return batch

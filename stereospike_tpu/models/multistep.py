@@ -213,7 +213,7 @@ def forward_multistep(
     xdec = out_rconv
     for scale in (4, 3, 2, 1):
         if scale == 1 and use_s2d:
-            if cfg.use_poly_deconv1:
+            if cfg.poly_deconv1_at(xdec.shape[0]):
                 from stereospike_tpu.nn.poly_route import upsample_conv_s2d_poly
 
                 up1 = upsample_conv_s2d_poly(xdec, params["deconv1"]["w"],

@@ -114,8 +114,21 @@ class StereoSpikeConfig:
     # site (B=128 bf16, v5e): 16.5→10.1 ms fwd (1.63×), 42.5→32.1 ms
     # fwd+bwd (1.32×) — benchmarks/pallas_poly_deconv.json. Auto-falls
     # back to the composite when an axis is not ~2× or the level 0 is
-    # not s2d-canonical.
+    # not s2d-canonical, and below ``poly_min_batch`` rows (see below).
     poly_deconv1: bool = True
+    # the polyphase DUS routing is BATCH-SENSITIVE: its copy chain only
+    # beats the composite when the deconv1 site's leading dim (B, or T·B
+    # for the layer-major multistep) is large enough to amortize the
+    # per-copy overhead. Measured whole-step train ratios poly/composite
+    # (v5e, bf16): leading 128 → 1.049×, leading 80 → 0.712× (both
+    # B·T=80 layer-major 0.705× and B=80 T=1 0.712× — the cliff tracks
+    # the site's leading dim, not T), leading 16 under scan+remat →
+    # 0.465× (benchmarks/pallas_poly_deconv.json batch_sweep). The
+    # routing therefore engages only when the TRACED leading dim at the
+    # site is >= this threshold (static at trace time; under GSPMD jit
+    # the traced shape is the global batch, under shard_map the
+    # per-shard one). Set 0 to force polyphase at any batch.
+    poly_min_batch: int = 128
     # polyphase for the INNER decoder sites deconv2/3/4 (odd target axes:
     # phase buffer + depth-to-space crop, nn/poly_route.py,
     # layers.upsample_conv poly=True). OFF by default: measured at the
@@ -162,10 +175,18 @@ class StereoSpikeConfig:
 
     @property
     def use_poly_deconv1(self) -> bool:
+        """Shape capability only — the runtime routing also gates on the
+        traced leading dim (:meth:`poly_deconv1_at`)."""
         from stereospike_tpu.nn.poly_route import poly_supported
 
         return bool(self.poly_deconv1 and self.use_s2d_level0
                     and poly_supported(self.sizes[1], self.sizes[0], 5))
+
+    def poly_deconv1_at(self, leading: int) -> bool:
+        """Route deconv1 polyphase for a site whose traced leading dim is
+        ``leading`` (B, or T·B layer-major) — capability AND the measured
+        batch cliff (see ``poly_min_batch``)."""
+        return self.use_poly_deconv1 and leading >= self.poly_min_batch
 
     @property
     def effective_sew_neuron(self) -> str:
@@ -358,7 +379,7 @@ def forward(
             # upsample-conv landing directly in the s2d layout: polyphase
             # (2.8× fewer MACs, nn/poly_route.py) or the phase-stacked
             # composite; both relayout-free
-            if cfg.use_poly_deconv1:
+            if cfg.poly_deconv1_at(x.shape[0]):
                 from stereospike_tpu.nn.poly_route import upsample_conv_s2d_poly
 
                 up1 = upsample_conv_s2d_poly(x, params["deconv1"]["w"],

@@ -46,6 +46,13 @@ the inner sites ship composite and polyphase stays a knob.
 Measured at the production deconv1 site (B=128 bf16, 130×173×64 → s2d,
 v5e): composite 16.5/42.5 ms fwd/f+b → polyphase 10.1/32.1 ms
 (1.63×/1.32×) — ``benchmarks/pallas_poly_deconv.json``.
+
+BATCH-SENSITIVE: the copy chain's per-copy overhead only amortizes at
+large leading dims — whole-step train ratios poly/composite are 1.049×
+at leading 128 but 0.712× at 80 and 0.465× at 16 under scan+remat
+(``pallas_poly_deconv.json`` batch_sweep). The model therefore routes
+polyphase only when the site's traced leading dim reaches
+``StereoSpikeConfig.poly_min_batch`` (default 128).
 """
 
 from __future__ import annotations

@@ -27,6 +27,7 @@ import numpy as np
 from stereospike_tpu.data import (
     AugmentConfig,
     augment_batch,
+    time_mirror_flags,
     batches,
     load_mvsec,
     make_mvsec_fixture,
@@ -261,6 +262,37 @@ def _device_setup(cfg: TrainConfig):
         "devices; running SINGLE-device. Set batch_size to a multiple of "
         f"{n} or pass an explicit mesh_shape to parallelize.")
     return None
+
+
+def _upload_augmented(batch: Dict, k, keys, jits) -> Dict:
+    """Upload + device-augment one training batch, swapping the time-mirror
+    on HOST when the train step itself doesn't consume init_pots.
+
+    init_pots/init_mask exist only to feed the time-mirror swap
+    (gt<->init_pots, mask<->init_mask) — uploading them costs 36% of a
+    default batch's bytes, the single biggest input cost on an
+    upload-bound link (benchmarks/production_loop_throughput.json:
+    73 MB/s H2D tunnel). Drawing the mirror decisions up front
+    (``time_mirror_flags``, the EXACT flags ``augment_batch`` would draw
+    from ``k``) lets the swap run as a host ``np.where`` before upload;
+    the device then augments with the flags passed in. Bit-identical to
+    the all-device path: the swap commutes with the spatial flips (they
+    transform gt and init_pots identically), and all other draws use the
+    same keys (pinned by tests/test_augmentation.py).
+
+    When ``keys`` includes init_pots (``use_init_pots`` models) the step
+    consumes it, so everything uploads and the swap stays on device."""
+    mirror_fn, aug_fn, aug_flag_fn = jits
+    if "init_pots" in batch and "init_pots" not in keys:
+        fl = np.asarray(mirror_fn(k, batch["gt"].shape[0]))
+        f = fl.reshape((-1,) + (1,) * (batch["gt"].ndim - 1))
+        batch = dict(batch,
+                     gt=np.where(f, batch["init_pots"], batch["gt"]),
+                     mask=np.where(f, batch["init_mask"], batch["mask"]))
+        dev = {k2: jnp.asarray(batch[k2]) for k2 in keys if k2 in batch}
+        return aug_flag_fn(k, dev, jnp.asarray(fl))
+    dev = {k2: jnp.asarray(v) for k2, v in batch.items()}
+    return aug_fn(k, dev)
 
 
 class _Prefetcher:
@@ -552,6 +584,10 @@ def train_loop(
 
     aug_cfg = AugmentConfig(eyes=2 if binocular else 1)
     aug = jax.jit(lambda k, b: augment_batch(k, b, aug_cfg))
+    aug_fl = jax.jit(lambda k, b, fl: augment_batch(k, b, aug_cfg,
+                                                    mirror_flag=fl))
+    mirror = jax.jit(lambda k, n: time_mirror_flags(k, n, aug_cfg),
+                     static_argnums=1)
 
     # training-time spike observability: per-tap densities on one val batch
     # (one extra forward every cfg.log_firing_rates epochs), profiled over
@@ -572,13 +608,17 @@ def train_loop(
         f"dtype={cfg.compute_dtype} augment={cfg.augment}")
 
     def prep(batch: Dict, train: bool = True, shard: bool = True) -> Dict:
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        # only the keys the step (or the augmentation) will read are
+        # uploaded — init_pots/init_mask are 36% of a default batch's
+        # bytes and exist only to feed the time-mirror swap, which
+        # _upload_augmented performs on HOST (see its docstring)
+        keys = keep if train else ("chunks", "gt", "mask")
         if cfg.augment and train:
             nonlocal aug_key
             aug_key, k = jax.random.split(aug_key)
-            batch = aug(k, batch)
-        # eval consumes only the canonical triple (no warmup/init_pots)
-        keys = keep if train else ("chunks", "gt", "mask")
+            batch = _upload_augmented(batch, k, keys, (mirror, aug, aug_fl))
+        else:
+            batch = {k: jnp.asarray(batch[k]) for k in keys if k in batch}
         batch = {k: batch[k] for k in keys if k in batch}
         if mesh is not None and shard:
             batch = shard_batch(batch, mesh, spatial=spatial)
@@ -1082,7 +1122,12 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     def eval_divisible(bsz: int) -> bool:
         return mesh is not None and bsz % mesh.devices.shape[0] == 0
 
-    aug = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig()))
+    ann_aug_cfg = AugmentConfig()
+    aug = jax.jit(lambda k, b: augment_batch(k, b, ann_aug_cfg))
+    aug_fl = jax.jit(lambda k, b, fl: augment_batch(k, b, ann_aug_cfg,
+                                                    mirror_flag=fl))
+    mirror = jax.jit(lambda k, n: time_mirror_flags(k, n, ann_aug_cfg),
+                     static_argnums=1)
     aug_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 777),
                                  jax.process_index())  # see train_loop
 
@@ -1093,12 +1138,17 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
                 f"steps/epoch={steps_per_epoch} batch={cfg.batch_size}")
 
     def prep(batch: Dict, train: bool = True, shard: bool = True) -> Dict:
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        # same input path as the SNN loop: host-side time-mirror swap, no
+        # init_pots/init_mask upload (the ANN step never consumes them)
         if cfg.augment and train:
             nonlocal aug_key
             aug_key, k = jax.random.split(aug_key)
-            batch = aug(k, batch)
-        batch = {k: batch[k] for k in ("chunks", "gt", "mask")}
+            batch = _upload_augmented(batch, k, ("chunks", "gt", "mask"),
+                                      (mirror, aug, aug_fl))
+        else:
+            batch = {k: jnp.asarray(batch[k])
+                     for k in ("chunks", "gt", "mask")}
+        batch = {k: batch[k] for k in ("chunks", "gt", "mask") if k in batch}
         if mesh is not None and shard:
             batch = shard_batch(batch, mesh, spatial=spatial)
         return batch

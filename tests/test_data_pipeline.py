@@ -263,6 +263,36 @@ def test_augment_batch_jits():
     assert out["chunks"].shape == b["chunks"].shape
 
 
+def test_host_mirror_swap_path_bit_identical():
+    """The production input path's host-side time-mirror swap
+    (train/loop._upload_augmented): drawing the mirror flags up front
+    (time_mirror_flags), swapping gt<->init_pots / mask<->init_mask on
+    HOST, and device-augmenting WITHOUT init keys must reproduce the
+    all-device augment_batch output bit for bit (the swap commutes with
+    the spatial flips — they transform gt and init_pots identically)."""
+    from stereospike_tpu.data.augmentation import time_mirror_flags
+
+    cfg = AugmentConfig(eyes=2)
+    b = _aug_batch()
+    key = jax.random.PRNGKey(11)
+
+    ref = augment_batch(key, b, cfg)
+
+    fl = np.asarray(time_mirror_flags(key, b["gt"].shape[0], cfg))
+    assert fl.any() and not fl.all()  # both branches exercised
+    f = fl.reshape((-1, 1, 1, 1))
+    host = {"chunks": b["chunks"],
+            "gt": jnp.asarray(np.where(f, np.asarray(b["init_pots"]),
+                                       np.asarray(b["gt"]))),
+            "mask": jnp.asarray(np.where(f, np.asarray(b["init_mask"]),
+                                         np.asarray(b["mask"])))}
+    got = augment_batch(key, host, cfg, mirror_flag=jnp.asarray(fl))
+
+    for k in ("chunks", "gt", "mask"):
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(ref[k]), err_msg=k)
+
+
 def test_batches_time_axis(mvsec_root):
     """n_timesteps > 1 spreads a sample's chunks over the scan-time axis:
     step t carries chunk t's frames, channel order (eye, chunk, frame, pol)

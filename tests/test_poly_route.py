@@ -98,8 +98,10 @@ def test_full_model_poly_matches_composite_f64(x64):
 
     from stereospike_tpu.models import forward_sequence, init_params, stereospike
 
-    cfg_poly = stereospike(in_hw=(48, 64))
-    assert cfg_poly.use_poly_deconv1
+    # poly_min_batch=0: force the polyphase route at this test's tiny
+    # batch (production gates it on leading dim >= 128, see config)
+    cfg_poly = stereospike(in_hw=(48, 64), poly_min_batch=0)
+    assert cfg_poly.use_poly_deconv1 and cfg_poly.poly_deconv1_at(2)
     cfg_comp = dataclasses.replace(cfg_poly, poly_deconv1=False)
     params = jax.tree.map(
         lambda x: jnp.asarray(np.asarray(x), jnp.float64),
@@ -208,6 +210,33 @@ def test_full_model_poly_deconv_knob_f64(x64):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-9, atol=1e-10,
                                    err_msg=jax.tree_util.keystr(path))
+
+
+def test_poly_batch_gate_routes_by_leading_dim(monkeypatch):
+    """The deconv1 polyphase routing engages only when the site's traced
+    leading dim reaches poly_min_batch (measured cliff: leading 80 runs
+    0.71x the composite, 128 runs 1.05x — see StereoSpikeConfig). Spied
+    through the real forward via abstract tracing (no compute)."""
+    import stereospike_tpu.nn.poly_route as pr
+    from stereospike_tpu.models import forward_sequence, init_params, stereospike
+
+    calls = []
+    real = pr.upsample_conv_s2d_poly
+    monkeypatch.setattr(pr, "upsample_conv_s2d_poly",
+                        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1])
+
+    cfg = stereospike(in_hw=(48, 64))
+    assert cfg.use_poly_deconv1 and cfg.poly_min_batch == 128
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def run(B):
+        calls.clear()
+        frames = jax.ShapeDtypeStruct((B, 1, 48, 64, 4), jnp.float32)
+        jax.eval_shape(lambda p, f: forward_sequence(p, f, cfg)[0],
+                       params, frames)
+        return bool(calls)
+
+    assert not run(2) and not run(127) and run(128)
 
 
 def test_poly_unsupported_shapes_raise():
