@@ -45,6 +45,7 @@ from stereospike_tpu.nn.blocks import (
 )
 from stereospike_tpu.nn.layers import (
     _upsample_conv_1out_s2d,
+    _upsample_conv_1out_s2d_conv,
     conv2d_s2d,
     depth_to_space,
     space_to_depth,
@@ -226,7 +227,7 @@ def forward_multistep(
             xdec = fire(f"deconv{scale}", upsample_conv_scale(
                 xdec, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
                 static_scale=ms, phase=cfg.phase_upsample,
-                poly=cfg.poly_deconv))
+                poly=cfg.poly_inner_at(scale, xdec.shape[0])))
         if cfg.use_skips:
             xdec = xdec + skips[scale - 1]
         last = step_slice(xdec, T - 1)
@@ -234,7 +235,9 @@ def forward_multistep(
                            if scale == 1 and use_s2d else last)
         if scale in cfg.heads:
             if scale == 1 and use_s2d:
-                ch = _apply_scale(_upsample_conv_1out_s2d(
+                head = (_upsample_conv_1out_s2d_conv if cfg.use_pred_s2d_conv
+                        else _upsample_conv_1out_s2d)
+                ch = _apply_scale(head(
                     xdec, params["pred1"]["w"], params["pred1"].get("b"),
                     sizes[0]), params["pred1"], ms)
             else:

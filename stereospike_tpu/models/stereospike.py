@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,7 @@ from stereospike_tpu.nn.blocks import (
 )
 from stereospike_tpu.nn.layers import (
     _upsample_conv_1out_s2d,
+    _upsample_conv_1out_s2d_conv,
     conv2d_s2d,
     depth_to_space,
     space_to_depth,
@@ -131,13 +132,31 @@ class StereoSpikeConfig:
     poly_min_batch: int = 128
     # polyphase for the INNER decoder sites deconv2/3/4 (odd target axes:
     # phase buffer + depth-to-space crop, nn/poly_route.py,
-    # layers.upsample_conv poly=True). OFF by default: measured at the
-    # production inner sites the d2s epilogue + fix-ups eat the MAC win
-    # (fwd+bwd 0.94×/0.96×/1.02× vs the composite,
-    # benchmarks/pallas_poly_deconv.json inner_sites) — deconv1 wins only
-    # because its s2d consumer makes the phase buffer the FINAL layout.
-    # Kept as a knob for shapes where the ratio differs.
-    poly_deconv: bool = False
+    # layers.upsample_conv poly=True). Per-site: True = all inner sites,
+    # False = none, or a tuple of scales, e.g. ``(3,)`` = deconv3 only.
+    # Measured at the production inner sites (B=128 bf16 fwd+bwd,
+    # benchmarks/pallas_poly_deconv.json inner_sites): deconv2 0.94× (the
+    # d2s epilogue + fix-ups eat the MAC win), deconv4 1.01× (wash);
+    # deconv3 measured 0.96× in one run and 1.24× in a re-run of the same
+    # code — run-to-run variance this large means neither is shippable
+    # evidence, so every inner site stays composite until the interleaved
+    # re-measurement (benchmarks/poly_inner_site.py) decides it. Like
+    # deconv1, the DUS routing is batch-sensitive, so selected sites also
+    # gate on ``poly_min_batch`` (same cliff mechanics: the copy chain
+    # amortizes per-copy overhead over the leading dim).
+    poly_deconv: Union[bool, Tuple[int, ...]] = False
+    # conv-form pred1 head on the s2d level 0: the head's nearest upsample
+    # (target+2 / target ≈ 1 for the k3 head) is a concat of slices in s2d
+    # layout and the 3×3 C_out=1 VALID conv collapses to ONE lane-dense
+    # 2×2 s2d conv [4C → 4] (nn/layers._upsample_conv_1out_s2d_conv) —
+    # replacing the selection form's two joint-contraction GEMMs (~190
+    # GFLOP of 0/1 arithmetic at the flagship site) with a ~12-GFLOP MXU
+    # conv. Same math up to reassociation (float64-pinned); auto-falls
+    # back when the shape has no near-identity plan. OFF until the on-chip
+    # measurement (benchmarks/pred_head_site.py) lands: this repo ships no
+    # execution-form default on FLOP arithmetic alone — the phase_upsample
+    # history shows XLA's backward fusion can invert an "obvious" win.
+    pred_s2d_conv: bool = False
 
     @property
     def channels(self) -> Tuple[int, ...]:
@@ -187,6 +206,27 @@ class StereoSpikeConfig:
         ``leading`` (B, or T·B layer-major) — capability AND the measured
         batch cliff (see ``poly_min_batch``)."""
         return self.use_poly_deconv1 and leading >= self.poly_min_batch
+
+    @property
+    def use_pred_s2d_conv(self) -> bool:
+        """Conv-form pred1 head: the knob AND a near-identity assembly plan
+        at this model's level-0 shape (nn/layers)."""
+        from stereospike_tpu.nn.layers import pred_head_s2d_conv_supported
+
+        h, w = self.sizes[0]
+        return bool(self.pred_s2d_conv and self.use_s2d_level0
+                    and pred_head_s2d_conv_supported(h // 2, w // 2,
+                                                     (h, w), 3))
+
+    def poly_inner_at(self, scale: int, leading: int) -> bool:
+        """Route an INNER decoder site (deconv2/3/4, ``scale`` ∈ {2,3,4})
+        polyphase: selected by ``poly_deconv`` (bool = all/none, or a
+        tuple of scales) AND past the ``poly_min_batch`` leading-dim cliff
+        (the DUS copy chain amortizes over the leading dim exactly as at
+        deconv1)."""
+        pd = self.poly_deconv
+        on = scale in pd if isinstance(pd, (tuple, list, set)) else bool(pd)
+        return on and leading >= self.poly_min_batch
 
     @property
     def effective_sew_neuron(self) -> str:
@@ -394,7 +434,7 @@ def forward(
                     upsample_conv_scale(
                         x, params[f"deconv{scale}"], target_hw=sizes[scale - 1],
                         static_scale=ms, phase=cfg.phase_upsample,
-                        poly=cfg.poly_deconv)))
+                        poly=cfg.poly_inner_at(scale, x.shape[0]))))
         if cfg.use_skips:
             x = x + skips[scale - 1]
         x = tap(f"out_add{scale}", x)
@@ -403,7 +443,9 @@ def forward(
         spikes.append(depth_to_space(x) if scale == 1 and use_s2d else x)
         if scale in cfg.heads:
             if scale == 1 and use_s2d:
-                charge = _apply_scale(_upsample_conv_1out_s2d(
+                head = (_upsample_conv_1out_s2d_conv if cfg.use_pred_s2d_conv
+                        else _upsample_conv_1out_s2d)
+                charge = _apply_scale(head(
                     x, params["pred1"]["w"], params["pred1"].get("b"),
                     sizes[0]), params["pred1"], ms)
             else:

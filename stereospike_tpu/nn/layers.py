@@ -345,6 +345,147 @@ def _upsample_conv_1out_s2d(x_s2d: Array, w: Array, b: Optional[Array],
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _near_identity_segments(in_logical: int, up_logical: int):
+    """Segment plan for assembling the s2d half-rows of
+    ``nearest_upsample(x, up_logical)`` along one axis when the ratio is
+    near 1 (the prediction heads: up = target + k − 1 ≈ target, so the
+    nearest map is the identity with a handful of duplicated rows).
+
+    Each up half-row holds logical rows ``(src[2i2], src[2i2+1])``; with a
+    monotone src of step ∈ {0, 1} every half-row is one of: ``al`` (aligned
+    copy of an x half-row), ``an`` (anti-aligned: phase-1 of half-row j ++
+    phase-0 of half-row j+1), or ``d0``/``d1`` (both phases duplicate one
+    source row of parity 0/1). Returns run-length-merged segments
+    ``(cls, j0, length)`` — O(#duplications) slices, so the assembly is a
+    plain concat XLA fuses — or None when the ratio is not near-identity
+    (callers fall back to the selection form).
+    """
+    if up_logical % 2:
+        return None
+    src = _nearest_indices(in_logical, up_logical)
+    half = []
+    for i2 in range(up_logical // 2):
+        r0, r1 = int(src[2 * i2]), int(src[2 * i2 + 1])
+        if r1 == r0 + 1:
+            half.append(("al" if r0 % 2 == 0 else "an", r0 // 2))
+        elif r1 == r0:
+            half.append((f"d{r0 % 2}", r0 // 2))
+        else:
+            return None
+    segs = []
+    for cls, j in half:
+        if (segs and segs[-1][0] == cls and cls in ("al", "an")
+                and j == segs[-1][1] + segs[-1][2]):
+            segs[-1] = (cls, segs[-1][1], segs[-1][2] + 1)
+        else:
+            segs.append((cls, j, 1))
+    return tuple(segs)
+
+
+def _assemble_near_identity(x6: Array, segs, axis: int, paxis: int) -> Array:
+    """Concat-of-slices assembly of one axis of the near-identity nearest
+    upsample, on the [B, h2, w2, p, q, c] view (``axis`` spatial,
+    ``paxis`` its phase axis). Pure slices/concats: the transpose under
+    autodiff is slice-adds, no scatter."""
+    parts = []
+    for cls, j, length in segs:
+        if cls == "al":
+            sl = [slice(None)] * x6.ndim
+            sl[axis] = slice(j, j + length)
+            parts.append(x6[tuple(sl)])
+        elif cls == "an":
+            a = [slice(None)] * x6.ndim
+            b = [slice(None)] * x6.ndim
+            a[axis] = slice(j, j + length)
+            a[paxis] = slice(1, 2)
+            b[axis] = slice(j + 1, j + length + 1)
+            b[paxis] = slice(0, 1)
+            parts.append(jnp.concatenate([x6[tuple(a)], x6[tuple(b)]],
+                                         axis=paxis))
+        else:
+            p = int(cls[1])
+            sl = [slice(None)] * x6.ndim
+            sl[axis] = slice(j, j + length)
+            sl[paxis] = slice(p, p + 1)
+            seg = x6[tuple(sl)]
+            parts.append(jnp.concatenate([seg, seg], axis=paxis))
+    return jnp.concatenate(parts, axis=axis) if len(parts) > 1 else parts[0]
+
+
+def _expand_head_kernel(w: Array) -> Array:
+    """Recast the odd-k C_out=1 head kernel for the s2d-grid VALID conv:
+    output s2d half-pixel i reads up half-rows i..i+k//2, so tap (m2, n2)
+    of the (k//2+1)² s2d kernel maps input phase (p, q) to output phase
+    (a, b) through w[2·m2+p−a, 2·n2+q−b] (zero outside the k×k support) —
+    2×2 for the production k=3 prediction heads, 3×3 for k=5."""
+    k, _, ci, co = w.shape
+    ksz = k // 2 + 1
+    z = jnp.zeros_like(w[0, 0])
+    rows = []
+    for m2 in range(ksz):
+        cols = []
+        for n2 in range(ksz):
+            outs = []
+            for a in range(2):
+                for bq in range(2):
+                    ins = []
+                    for p in range(2):
+                        for q in range(2):
+                            dy, dx = 2 * m2 + p - a, 2 * n2 + q - bq
+                            ins.append(w[dy, dx]
+                                       if 0 <= dy < k and 0 <= dx < k else z)
+                    outs.append(jnp.concatenate(ins, axis=0))   # [4ci, co]
+            cols.append(jnp.concatenate(outs, axis=1))          # [4ci, 4co]
+        rows.append(jnp.stack(cols))                            # [ksz,4ci,4co]
+    return jnp.stack(rows)                                      # [ksz,ksz,...]
+
+
+def pred_head_s2d_conv_supported(h2: int, w2: int,
+                                 target_hw: Tuple[int, int], k: int) -> bool:
+    """The conv-form head needs an odd kernel (phase parity bookkeeping of
+    ``_expand_head_kernel``) and the near-identity plan on both axes."""
+    return (k % 2 == 1
+            and _near_identity_segments(2 * h2, target_hw[0] + k - 1)
+            is not None
+            and _near_identity_segments(2 * w2, target_hw[1] + k - 1)
+            is not None)
+
+
+def _upsample_conv_1out_s2d_conv(x_s2d: Array, w: Array, b: Optional[Array],
+                                 target_hw: Tuple[int, int]) -> Array:
+    """:func:`_upsample_conv_1out_s2d` as ONE MXU conv: the head's nearest
+    upsample is near-identity (262/260 on the flagship's k=3 head), i.e. a
+    concat of slices in s2d layout (``_near_identity_segments``), and the
+    k×k VALID conv collapses to a (k//2+1)² s2d conv [4C → 4]
+    (``_expand_head_kernel``) whose depth-to-space is the [B, target, 1]
+    charge. Same math as the selection form up to reassociation
+    (float64-pinned by tests); replaces the selection form's two
+    joint-contraction GEMMs (~190 GFLOP of 0/1 arithmetic at the flagship
+    pred1 site) with a ~12 GFLOP lane-dense conv."""
+    k = w.shape[0]
+    B, h2, w2, c4 = x_s2d.shape
+    c = c4 // 4
+    h_t, w_t = target_hw
+    uh, uw = h_t + k - 1, w_t + k - 1
+    rsegs = _near_identity_segments(2 * h2, uh)
+    csegs = _near_identity_segments(2 * w2, uw)
+    x6 = x_s2d.reshape(B, h2, w2, 2, 2, c)
+    up = _assemble_near_identity(x6, rsegs, 1, 3)
+    up = _assemble_near_identity(up, csegs, 2, 4)
+    up = up.reshape(B, uh // 2, uw // 2, 4 * c)
+    e = _expand_head_kernel(w).astype(up.dtype)
+    precision = (jax.lax.Precision.HIGHEST if up.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    out = jax.lax.conv_general_dilated(
+        up, e, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=_DIMNUMS, precision=precision)
+    out = depth_to_space(out)
+    if b is not None:
+        out = out + b
+    return out
+
+
 def _phase_kernel(w: Array, py: int, px: int) -> Array:
     """Stack a [k,k,ci,co] kernel into the py×px output-phase kernel
     [k+py-1, k+px-1, ci, py·px·co]: channel block (a·px+b) holds w shifted

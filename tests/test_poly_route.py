@@ -176,17 +176,21 @@ def test_general_poly_gradients_match_f64(x64):
 
 
 def test_full_model_poly_deconv_knob_f64(x64):
-    """poly_deconv=True (the inner-site knob — off by default, measured a
-    slight loss at the production inner sites) vs False through the
+    """poly_deconv=True (all inner sites; the shipped default is ``(3,)``
+    = deconv3 only, the one site measured a win) vs False through the
     COMPLETE flagship forward + gradients at float64 — execution form
-    only, bit-equal at f64 tolerance."""
+    only, bit-equal at f64 tolerance. poly_min_batch=0 forces the routing
+    at this test's tiny batch (inner sites gate on the same leading-dim
+    cliff as deconv1)."""
     import dataclasses
 
     from stereospike_tpu.models import forward_sequence, init_params, stereospike
 
-    cfg_comp = stereospike(in_hw=(48, 64))
-    assert not cfg_comp.poly_deconv
+    cfg_comp = stereospike(in_hw=(48, 64), poly_deconv=False,
+                           poly_min_batch=0)
+    assert not cfg_comp.poly_inner_at(3, 2)
     cfg_poly = dataclasses.replace(cfg_comp, poly_deconv=True)
+    assert all(cfg_poly.poly_inner_at(s, 2) for s in (2, 3, 4))
     params = jax.tree.map(
         lambda x: jnp.asarray(np.asarray(x), jnp.float64),
         init_params(jax.random.PRNGKey(0), cfg_poly))
@@ -244,3 +248,45 @@ def test_poly_unsupported_shapes_raise():
     w = jnp.zeros((5, 5, 2, 3))
     with pytest.raises(ValueError):
         upsample_conv_s2d_poly(x, w, target_hw=(21, 20))  # odd target
+
+
+def test_poly_inner_site_selection_and_batch_gate(monkeypatch):
+    """poly_deconv as a tuple selects WHICH inner decoder sites route
+    polyphase (e.g. ``(3,)`` = deconv3 only), and selected sites gate on
+    the same poly_min_batch leading-dim cliff as deconv1. Spied through
+    the real forward via abstract tracing (no compute)."""
+    import dataclasses
+
+    import stereospike_tpu.nn.poly_route as pr
+    from stereospike_tpu.models import forward_sequence, init_params, stereospike
+
+    calls = []
+    real = pr.upsample_conv_poly
+    monkeypatch.setattr(
+        pr, "upsample_conv_poly",
+        lambda x, *a, **kw: (calls.append(tuple(x.shape[1:3])),
+                             real(x, *a, **kw))[1])
+
+    cfg = stereospike(in_hw=(48, 64), poly_deconv=(3,))
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # the 48×64 pyramid: deconv3's input grid is level 3 = 6×8
+    lvl3 = cfg.sizes[3]
+
+    def run(cfg, B):
+        calls.clear()
+        frames = jax.ShapeDtypeStruct((B, 1, 48, 64, 4), jnp.float32)
+        jax.eval_shape(lambda p, f: forward_sequence(p, f, cfg)[0],
+                       params, frames)
+        return list(calls)
+
+    # (3,): deconv3 routes at B>=128, nothing below the cliff
+    assert run(cfg, 127) == []
+    assert run(cfg, 128) == [lvl3]
+    # True = every SUPPORTED inner site (at the 48×64 pyramid deconv4's
+    # 3×4→6×8 is below poly_supported_any's minimum and falls through to
+    # the composite silently, by design); False / () = none
+    assert len(run(dataclasses.replace(cfg, poly_deconv=True), 128)) == 2
+    assert run(dataclasses.replace(cfg, poly_deconv=False), 128) == []
+    assert run(dataclasses.replace(cfg, poly_deconv=()), 128) == []
+    # JSON round-trips hand the knob back as a list — same routing
+    assert run(dataclasses.replace(cfg, poly_deconv=[3]), 128) == [lvl3]
