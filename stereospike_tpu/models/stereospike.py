@@ -74,6 +74,11 @@ _PLIF_SITES = (
 )
 _SEW_PLIF_SITES = ("sew1_a", "sew1_b", "sew2_a", "sew2_b")
 
+# Prediction-head kernel size (reference NNConvUpsampling k=3,
+# blocks.py:110-132). Shared by ``init_params`` and the conv-form head
+# support check so the two can never desync.
+PRED_HEAD_K = 3
+
 
 @dataclasses.dataclass(frozen=True)
 class StereoSpikeConfig:
@@ -134,17 +139,18 @@ class StereoSpikeConfig:
     # phase buffer + depth-to-space crop, nn/poly_route.py,
     # layers.upsample_conv poly=True). Per-site: True = all inner sites,
     # False = none, or a tuple of scales, e.g. ``(3,)`` = deconv3 only.
-    # Measured at the production inner sites (B=128 bf16 fwd+bwd,
-    # benchmarks/pallas_poly_deconv.json inner_sites): deconv2 0.94× (the
-    # d2s epilogue + fix-ups eat the MAC win), deconv4 1.01× (wash);
-    # deconv3 measured 0.96× in one run and 1.24× in a re-run of the same
-    # code — run-to-run variance this large means neither is shippable
-    # evidence, so every inner site stays composite until the interleaved
-    # re-measurement (benchmarks/poly_inner_site.py) decides it. Like
-    # deconv1, the DUS routing is batch-sensitive, so selected sites also
-    # gate on ``poly_min_batch`` (same cliff mechanics: the copy chain
-    # amortizes per-copy overhead over the leading dim).
-    poly_deconv: Union[bool, Tuple[int, ...]] = False
+    # Decided by the interleaved re-measurement
+    # (benchmarks/poly_inner_site.json, B=128 bf16, v5e, 3 interleaved
+    # repeats to kill the run-to-run variance the earlier single-shot
+    # numbers showed): deconv3-only is a whole-step win — 1.0235× median
+    # (779 vs 761 f/s; isolated site 1.245× fwd+bwd) — while all-inner is
+    # a whole-step LOSS (0.9645×: deconv2's d2s epilogue + fix-ups eat
+    # the MAC win, deconv4 is a wash). The shipped default is therefore
+    # deconv3 only. Like deconv1, the DUS routing is batch-sensitive, so
+    # selected sites also gate on ``poly_min_batch`` (same cliff
+    # mechanics: the copy chain amortizes per-copy overhead over the
+    # leading dim).
+    poly_deconv: Union[bool, Tuple[int, ...]] = (3,)
     # conv-form pred1 head on the s2d level 0: the head's nearest upsample
     # (target+2 / target ≈ 1 for the k3 head) is a concat of slices in s2d
     # layout and the 3×3 C_out=1 VALID conv collapses to ONE lane-dense
@@ -216,7 +222,7 @@ class StereoSpikeConfig:
         h, w = self.sizes[0]
         return bool(self.pred_s2d_conv and self.use_s2d_level0
                     and pred_head_s2d_conv_supported(h // 2, w // 2,
-                                                     (h, w), 3))
+                                                     (h, w), PRED_HEAD_K))
 
     def poly_inner_at(self, scale: int, leading: int) -> bool:
         """Route an INNER decoder site (deconv2/3/4, ``scale`` ∈ {2,3,4})
@@ -261,7 +267,8 @@ def init_params(key: Array, cfg: StereoSpikeConfig) -> Dict:
     for i, s in enumerate((1, 2, 3, 4)):
         if s in cfg.heads:
             params[f"pred{s}"] = init_conv_block(
-                keys[11 + i], 3, c[s - 1], 1, bias=True, learnable_scale=ls
+                keys[11 + i], PRED_HEAD_K, c[s - 1], 1, bias=True,
+                learnable_scale=ls
             )
     if cfg.neuron == "plif":
         params["plif"] = {site: plif_w_from_tau(cfg.tau) for site in _PLIF_SITES}

@@ -470,6 +470,11 @@ def _upsample_conv_1out_s2d_conv(x_s2d: Array, w: Array, b: Optional[Array],
     uh, uw = h_t + k - 1, w_t + k - 1
     rsegs = _near_identity_segments(2 * h2, uh)
     csegs = _near_identity_segments(2 * w2, uw)
+    if rsegs is None or csegs is None:
+        raise ValueError(
+            f"no near-identity assembly plan for {2 * h2}x{2 * w2} -> "
+            f"{uh}x{uw}; use _upsample_conv_1out_s2d "
+            "(pred_head_s2d_conv_supported gates the model path)")
     x6 = x_s2d.reshape(B, h2, w2, 2, 2, c)
     up = _assemble_near_identity(x6, rsegs, 1, 3)
     up = _assemble_near_identity(up, csegs, 2, 4)

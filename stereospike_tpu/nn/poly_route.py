@@ -442,12 +442,13 @@ def upsample_conv_poly(x: Array, w: Array, b: Optional[Array] = None, *,
     polyphase (the inner decoder sites deconv2/3/4, whose targets have odd
     axes): the routed phase buffer + a depth-to-space interleave + crop.
 
-    Measured at the production inner sites the d2s epilogue + slip fix-ups
-    roughly cancel the 2.8× MAC saving (fwd+bwd 0.94–1.02× vs the
-    composite, ``benchmarks/pallas_poly_deconv.json`` inner_sites), so the
-    model ships them composite (``poly_deconv=False``); this entry stays
-    for shapes where the ratio differs. Equal to ``upsample_conv`` up to
-    float reassociation; float64-pinned by tests.
+    The interleaved re-measurement (``benchmarks/poly_inner_site.json``,
+    3 repeats, B=128 bf16) decided the per-site defaults: deconv3 WINS
+    (isolated 1.245× fwd+bwd, whole step 1.0235×) and ships polyphase
+    (``poly_deconv=(3,)``); deconv2/4's d2s epilogue + slip fix-ups cancel
+    the 2.8× MAC saving (whole step all-inner 0.9645×) so they stay
+    composite. Equal to ``upsample_conv`` up to float reassociation;
+    float64-pinned by tests.
     """
     k, _, _, co = w.shape
     t_h, t_w = target_hw

@@ -103,6 +103,14 @@ class TrainConfig:
     # (train.py:100). 0 = synchronous prep. Bit-identical to 0 by
     # construction (single worker preserves the augmentation key order).
     prefetch: int = 2
+    # wire-compress the per-step H2D training upload (data/packing.py):
+    # bit-packed bool masks (8x, lossless) + fp16 labels (2x, <=2^-11
+    # relative — far below the sensor's depth noise), unpacked by one
+    # jitted device op before augmentation/step. On upload-bound links
+    # (production_loop_throughput.json: 73 MB/s tunnel, 2.2 s/batch) the
+    # batch bytes ARE the steady-state interval, so fewer bytes is
+    # throughput. Eval batches always upload exact f32 (metrics parity).
+    pack_io: bool = True
     # no-grad warmup inference before the train chunks (train.py:223-228)
     use_warmup: bool = False
     # seed the depth integrators with the previous GT

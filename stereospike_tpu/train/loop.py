@@ -32,6 +32,7 @@ from stereospike_tpu.data import (
     load_mvsec,
     make_mvsec_fixture,
 )
+from stereospike_tpu.data.packing import pack_batch_host, unpack_batch_device
 from stereospike_tpu.models import factory as model_factory
 from stereospike_tpu.models import (
     count_params,
@@ -257,14 +258,20 @@ def _device_setup(cfg: TrainConfig):
         return make_mesh(tuple(cfg.mesh_shape))
     if cfg.batch_size % n == 0:
         return make_mesh((n, 1))
-    warnings.warn(
-        f"batch_size={cfg.batch_size} does not divide over the {n} available "
-        "devices; running SINGLE-device. Set batch_size to a multiple of "
-        f"{n} or pass an explicit mesh_shape to parallelize.")
+    key = (cfg.batch_size, n)
+    if key not in _WARNED_SINGLE_DEVICE:   # once per (batch_size, n) config
+        _WARNED_SINGLE_DEVICE.add(key)
+        warnings.warn(
+            f"batch_size={cfg.batch_size} does not divide over the {n} "
+            "available devices; running SINGLE-device. Set batch_size to a "
+            f"multiple of {n} or pass an explicit mesh_shape to parallelize.")
     return None
 
 
-def _upload_augmented(batch: Dict, k, keys, jits) -> Dict:
+_WARNED_SINGLE_DEVICE: set = set()
+
+
+def _upload_augmented(batch: Dict, k, keys, jits, pack: bool = False) -> Dict:
     """Upload + device-augment one training batch, swapping the time-mirror
     on HOST when the train step itself doesn't consume init_pots.
 
@@ -281,7 +288,11 @@ def _upload_augmented(batch: Dict, k, keys, jits) -> Dict:
     same keys (pinned by tests/test_augmentation.py).
 
     When ``keys`` includes init_pots (``use_init_pots`` models) the step
-    consumes it, so everything uploads and the swap stays on device."""
+    consumes it, so everything uploads and the swap stays on device.
+
+    ``pack`` compresses the upload further (data/packing.py: bit-packed
+    masks + fp16 labels, unpacked by one jitted device op before the
+    augmentation jit sees the batch)."""
     mirror_fn, aug_fn, aug_flag_fn = jits
     if "init_pots" in batch and "init_pots" not in keys:
         fl = np.asarray(mirror_fn(k, batch["gt"].shape[0]))
@@ -289,10 +300,25 @@ def _upload_augmented(batch: Dict, k, keys, jits) -> Dict:
         batch = dict(batch,
                      gt=np.where(f, batch["init_pots"], batch["gt"]),
                      mask=np.where(f, batch["init_mask"], batch["mask"]))
-        dev = {k2: jnp.asarray(batch[k2]) for k2 in keys if k2 in batch}
+        dev = _upload(batch, keys, pack)
         return aug_flag_fn(k, dev, jnp.asarray(fl))
-    dev = {k2: jnp.asarray(v) for k2, v in batch.items()}
+    dev = _upload(batch, tuple(batch.keys()), pack)
     return aug_fn(k, dev)
+
+
+_unpack_jit = jax.jit(unpack_batch_device)
+
+
+def _upload(batch: Dict, keys, pack: bool) -> Dict:
+    """H2D upload of the ``keys`` subset, optionally wire-compressed
+    (data/packing.py). The jitted unpack restores the canonical batch
+    contract on device, so callers always receive f32 labels + bool
+    masks regardless of what travelled."""
+    host = {k: batch[k] for k in keys if k in batch}
+    if not pack:
+        return {k: jnp.asarray(v) for k, v in host.items()}
+    dev = {k: jnp.asarray(v) for k, v in pack_batch_host(host).items()}
+    return dict(_unpack_jit(dev))
 
 
 class _Prefetcher:
@@ -613,12 +639,16 @@ def train_loop(
         # bytes and exist only to feed the time-mirror swap, which
         # _upload_augmented performs on HOST (see its docstring)
         keys = keep if train else ("chunks", "gt", "mask")
+        # wire compression applies to TRAIN uploads only: eval metrics stay
+        # float-exact (packing quantizes gt to fp16 — see data/packing.py)
+        pack = cfg.pack_io and train
         if cfg.augment and train:
             nonlocal aug_key
             aug_key, k = jax.random.split(aug_key)
-            batch = _upload_augmented(batch, k, keys, (mirror, aug, aug_fl))
+            batch = _upload_augmented(batch, k, keys, (mirror, aug, aug_fl),
+                                      pack=pack)
         else:
-            batch = {k: jnp.asarray(batch[k]) for k in keys if k in batch}
+            batch = _upload(batch, keys, pack)
         batch = {k: batch[k] for k in keys if k in batch}
         if mesh is not None and shard:
             batch = shard_batch(batch, mesh, spatial=spatial)
@@ -1140,14 +1170,14 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     def prep(batch: Dict, train: bool = True, shard: bool = True) -> Dict:
         # same input path as the SNN loop: host-side time-mirror swap, no
         # init_pots/init_mask upload (the ANN step never consumes them)
+        pack = cfg.pack_io and train   # eval stays float-exact (see train_loop)
         if cfg.augment and train:
             nonlocal aug_key
             aug_key, k = jax.random.split(aug_key)
             batch = _upload_augmented(batch, k, ("chunks", "gt", "mask"),
-                                      (mirror, aug, aug_fl))
+                                      (mirror, aug, aug_fl), pack=pack)
         else:
-            batch = {k: jnp.asarray(batch[k])
-                     for k in ("chunks", "gt", "mask")}
+            batch = _upload(batch, ("chunks", "gt", "mask"), pack)
         batch = {k: batch[k] for k in ("chunks", "gt", "mask") if k in batch}
         if mesh is not None and shard:
             batch = shard_batch(batch, mesh, spatial=spatial)

@@ -608,9 +608,10 @@ def test_blended_and_mosaic_videos(tmp_path):
     depth_mosaic_video(depth, depth, depth, depth, blended, blended, p2)
     assert os.path.getsize(p2) > 0
 
-    # grayscale blended previews are accepted too
-    blended_video(depth.astype(np.uint8), depth.astype(np.uint8),
-                  str(tmp_path / "gray.mp4"))
+    # grayscale blended previews are accepted too (NaN-free: casting NaN
+    # to uint8 is UB and warns — real grayscale previews are count frames)
+    gray = np.nan_to_num(depth).astype(np.uint8)
+    blended_video(gray, gray, str(tmp_path / "gray.mp4"))
 
 
 def test_metrics_logger_writes_tensorboard_events(tmp_path):

@@ -290,3 +290,73 @@ def test_poly_inner_site_selection_and_batch_gate(monkeypatch):
     assert run(dataclasses.replace(cfg, poly_deconv=()), 128) == []
     # JSON round-trips hand the knob back as a list — same routing
     assert run(dataclasses.replace(cfg, poly_deconv=[3]), 128) == [lvl3]
+
+
+def test_deconv3_site_gradients_match_f64(x64):
+    """Gradient exactness at the EXACT production deconv3 site geometry
+    (33,44)->(65,87) — the odd-target epilogue (phase buffer + d2s crop)
+    shipped as the default via poly_deconv=(3,), decided by
+    benchmarks/poly_inner_site.json (whole-step 1.0235x, isolated fwd+bwd
+    1.245x). Channels shrunk (production 256->128 would be a multi-GB f64
+    test); the epilogue path depends on the spatial plan only."""
+    in_hw, target = (33, 44), (65, 87)
+    assert poly_supported_any(in_hw, target, 5)
+    ci, co = 6, 4
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, *in_hw, ci)))
+    w = jnp.asarray(rng.normal(size=(5, 5, ci, co)))
+    b = jnp.asarray(rng.normal(size=(co,)))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(upsample_conv(x, w, b, target_hw=target) ** 2)
+
+    def loss_poly(x, w, b):
+        return jnp.sum(upsample_conv_poly(x, w, b, target_hw=target) ** 2)
+
+    np.testing.assert_allclose(float(loss_poly(x, w, b)),
+                               float(loss_ref(x, w, b)), rtol=1e-12)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    g_poly = jax.grad(loss_poly, argnums=(0, 1, 2))(x, w, b)
+    for a, r, name in zip(g_poly, g_ref, "xwb"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-10, atol=1e-10, err_msg=name)
+
+
+def test_full_model_poly_deconv3_default_odd_target_f64(x64):
+    """The SHIPPED default poly_deconv=(3,) vs composite through the
+    complete flagship forward + gradients at float64, at a pyramid whose
+    deconv3 target is ODD on both axes ((7,9)->(13,17) — same epilogue
+    class as the production (33,44)->(65,87)). Execution form only."""
+    import dataclasses
+
+    from stereospike_tpu.models import forward_sequence, init_params, stereospike
+
+    cfg_poly = stereospike(in_hw=(52, 68), poly_min_batch=0)
+    assert cfg_poly.poly_deconv == (3,)          # the shipped default
+    assert cfg_poly.poly_inner_at(3, 2)
+    assert not cfg_poly.poly_inner_at(2, 2) and not cfg_poly.poly_inner_at(4, 2)
+    assert cfg_poly.sizes[2] == (13, 17)         # odd target on both axes
+    cfg_comp = dataclasses.replace(cfg_poly, poly_deconv=False)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64),
+        init_params(jax.random.PRNGKey(0), cfg_poly))
+    frames = jnp.asarray(np.random.default_rng(8).poisson(
+        0.4, (2, 1, 52, 68, 4)).astype(np.float64))
+
+    def loss(p, cfg):
+        d, s, _ = forward_sequence(p, frames, cfg)
+        return sum(jnp.sum(x ** 2) for x in d) + 0.1 * sum(
+            jnp.sum(x) for x in s), d
+
+    (l_p, d_p), g_p = jax.value_and_grad(loss, has_aux=True)(params, cfg_poly)
+    (l_c, d_c), g_c = jax.value_and_grad(loss, has_aux=True)(params, cfg_comp)
+    np.testing.assert_allclose(float(l_p), float(l_c), rtol=1e-10)
+    for a, b in zip(d_p, d_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-10)
+    for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_p),
+            jax.tree_util.tree_leaves_with_path(g_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-10,
+                                   err_msg=jax.tree_util.keystr(path))
