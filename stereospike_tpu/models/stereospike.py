@@ -158,10 +158,15 @@ class StereoSpikeConfig:
     # replacing the selection form's two joint-contraction GEMMs (~190
     # GFLOP of 0/1 arithmetic at the flagship site) with a ~12-GFLOP MXU
     # conv. Same math up to reassociation (float64-pinned); auto-falls
-    # back when the shape has no near-identity plan. OFF until the on-chip
-    # measurement (benchmarks/pred_head_site.py) lands: this repo ships no
-    # execution-form default on FLOP arithmetic alone — the phase_upsample
-    # history shows XLA's backward fusion can invert an "obvious" win.
+    # back when the shape has no near-identity plan. Measured OFF
+    # (benchmarks/pred_head_site.json): despite the ~16× FLOP reduction,
+    # the conv form is 0.49× the selection form at the isolated site
+    # (11.6 → 23.7 ms fwd+bwd) and 0.93× whole-step (779 → 723 f/s) —
+    # the slice-concat assembly + its backward slice-grads lose to two
+    # dense MXU GEMMs, another case (like phase_upsample) of FLOP
+    # arithmetic inverting under XLA's fusion. Selection stays the
+    # default; the conv form remains as the low-FLOP alternative for
+    # backends that bill by MACs.
     pred_s2d_conv: bool = False
 
     @property
