@@ -33,6 +33,12 @@ validation — and decomposes the remaining gap:
                                58 MB gt/mask per batch through the tunnel)
   * tunnel_rtt_ms            — median scalar-fetch round trip
 
+Round 5 adds the wire-compression leg (``TrainConfig.pack_io``, default
+on — data/packing.py: fp16 gt + bit-packed mask, one jitted device unpack):
+on an upload-bound link the batch bytes ARE the steady interval, so the
+~35% byte cut should convert to steady f/s; the pack on/off run pair and
+the packed-upload timing measure exactly that.
+
 Writes ``benchmarks/production_loop_throughput.json``. Target
 (VERDICT r3 #1): production >= 0.8x device-resident, or the decomposition
 showing the remainder is this backend's tunnel RTT / upload bandwidth.
@@ -93,15 +99,16 @@ def measure_device_resident():
     return fps
 
 
-def run_production(views, *, dtype: str, prefetch: int):
+def run_production(views, *, dtype: str, prefetch: int, pack: bool = True):
     from stereospike_tpu.train.config import TrainConfig
     from stereospike_tpu.train.loop import train_loop
 
     ckpt = tempfile.mkdtemp(prefix=f"prodloop_{dtype}_{prefetch}_")
     cfg = TrainConfig(batch_size=B, epochs=EPOCHS, compute_dtype=dtype,
                       prefetch=prefetch, augment=True, tensorboard=False,
-                      checkpoint_dir=ckpt, synth_frames=N_DEPTH)
-    log(f"train_loop dtype={dtype} prefetch={prefetch} "
+                      checkpoint_dir=ckpt, synth_frames=N_DEPTH,
+                      pack_io=pack)
+    log(f"train_loop dtype={dtype} prefetch={prefetch} pack_io={pack} "
         f"(B={B}, augment=on, {EPOCHS} epochs) ...")
     t0 = time.time()
     train_loop(cfg, data=views)
@@ -131,11 +138,18 @@ def measure_prep(views):
     from stereospike_tpu.data.augmentation import AugmentConfig, augment_batch
     from stereospike_tpu.data.mvsec import batches
 
+    from stereospike_tpu.data.packing import (
+        pack_batch_host as pack_host,
+        unpack_batch_device,
+    )
+
     aug = jax.jit(lambda k, b: augment_batch(k, b, AugmentConfig(eyes=2)))
+    unpack_jit = jax.jit(unpack_batch_device)
     key = jax.random.PRNGKey(0)
 
     assemble_ms, h2d_ms, aug_ms, mb = [], [], [], 0.0
     h2d_triple_ms, mb_triple = [], 0.0
+    h2d_packed_ms, mb_packed = [], 0.0
     it = batches(views[0], B, binocular=True, n_timesteps=1, shuffle=True,
                  seed=0)
     for i, batch in enumerate(it):
@@ -161,13 +175,24 @@ def measure_prep(views):
         dev_t = {k2: jnp.asarray(v) for k2, v in triple.items()}
         float(dev_t["gt"].ravel()[0])
         t4 = time.perf_counter()
+        # the wire-compressed leg (data/packing.py, TrainConfig.pack_io,
+        # default on since round 5): fp16 gt + bit-packed mask travel;
+        # one jitted device op restores the canonical f32/bool contract
+        packed = pack_host(triple)
+        dev_p = {k2: jnp.asarray(v) for k2, v in packed.items()}
+        unpacked = unpack_jit(dev_p)
+        float(unpacked["gt"].ravel()[0])
+        t5 = time.perf_counter()
         if i >= 1:  # first iteration pays compile/caches
             assemble_ms.append((t1 - t0) * 1e3)
             h2d_ms.append((t2 - t1) * 1e3)
             aug_ms.append((t3 - t2) * 1e3)
             h2d_triple_ms.append((t4 - t3) * 1e3)
+            h2d_packed_ms.append((t5 - t4) * 1e3)
             mb = sum(v.nbytes for v in np_batch.values()) / 1e6
             mb_triple = sum(v.nbytes for v in triple.values()) / 1e6
+            mb_packed = sum(np.asarray(v).nbytes
+                            for v in packed.values()) / 1e6
     return {
         "batch_mb": round(mb, 1),
         "assemble_ms": round(float(np.median(assemble_ms)), 1),
@@ -176,6 +201,9 @@ def measure_prep(views):
         "augment_blocked_ms": round(float(np.median(aug_ms)), 1),
         "uploaded_mb": round(mb_triple, 1),
         "uploaded_h2d_blocked_ms": round(float(np.median(h2d_triple_ms)), 1),
+        "uploaded_mb_packed": round(mb_packed, 1),
+        "uploaded_h2d_packed_ms": round(
+            float(np.median(h2d_packed_ms)), 1),
     }
 
 
@@ -205,6 +233,8 @@ def main():
         runs = {
             "bf16_prefetch2": run_production(views, dtype="bfloat16",
                                              prefetch=2),
+            "bf16_prefetch2_nopack": run_production(
+                views, dtype="bfloat16", prefetch=2, pack=False),
             "bf16_prefetch0": run_production(views, dtype="bfloat16",
                                              prefetch=0),
             "f32_prefetch2": run_production(views, dtype="float32",
@@ -225,6 +255,8 @@ def main():
         "production_over_device_resident": round(best / device_fps, 3),
         "prefetch_speedup": round(
             best / runs["bf16_prefetch0"]["steady_fps"], 2),
+        "pack_speedup": round(
+            best / runs["bf16_prefetch2_nopack"]["steady_fps"], 2),
         "bf16_over_f32": round(
             best / runs["f32_prefetch2"]["steady_fps"], 2),
     }
