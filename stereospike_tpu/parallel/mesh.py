@@ -60,11 +60,28 @@ def replicated_spec():
 
 
 def shard_batch(batch: Dict, mesh: Mesh, spatial: bool = True) -> Dict:
+    """Place a host batch onto the mesh per :func:`batch_spec`.
+
+    Single-process: plain ``device_put``. Multi-HOST (the mesh spans
+    processes): each host holds its own PER-HOST batch (disjoint samples
+    from the process-sharded iterator, ``data/mvsec.py::batches``), so the
+    values are assembled into the global array with
+    ``jax.make_array_from_process_local_data`` — the global batch is the
+    concatenation of the hosts' local batches along the data axis.
+    (``device_put`` would instead treat each host's value as the full
+    global array and asserts when they differ across hosts — pinned by
+    tests/test_multihost.py under a real 2-process ``jax.distributed``.)
+    """
     spec = batch_spec(spatial, keys=tuple(batch.keys()))
-    return {
-        k: jax.device_put(v, NamedSharding(mesh, spec[k]))
-        for k, v in batch.items()
-    }
+    multihost = len({d.process_index for d in mesh.devices.flat}) > 1
+    out = {}
+    for k, v in batch.items():
+        sharding = NamedSharding(mesh, spec[k])
+        if multihost:
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = jax.device_put(v, sharding)
+    return out
 
 
 def _state_shardings(mesh: Mesh):

@@ -449,6 +449,23 @@ class _PreemptionGuard:
             self._old = None
 
 
+def _warm_preempt_collective() -> None:
+    """Compile + establish :func:`_preempt_sync`'s cross-host allgather
+    (executable AND transport context) BEFORE training starts and a
+    SIGTERM can race it. A signal landing exactly during the collective's
+    first context establishment can break its connect phase (observed on
+    the CPU gloo transport as ``Gloo context initialization failed:
+    Connect timeout`` cascading into every later dispatch —
+    tests/test_multihost.py reproduces it without this warmup); the
+    preemption path must be the most reliable code in the loop, so its
+    one-time setup runs here, signal-free and in lockstep."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.process_allgather(jnp.asarray(0.0)).max()
+
+
 def _preempt_sync(guard: "_PreemptionGuard", step_idx: int,
                   every: int = 16) -> bool:
     """Cross-host agreement on the preemption flag. Single-process: the
@@ -516,12 +533,16 @@ def train_loop(
     synthetic: bool = False,
     max_steps: Optional[int] = None,
     data=None,
+    return_state: bool = False,
 ) -> Dict:
     """Full training run (reference train.py epoch loop, :180-356).
 
     Per epoch: shuffled train pass (optional augmentation folded into the
     device program) → validation pass → best-on-val checkpoint + full-state
-    ``latest`` for exact resume. Returns a summary dict.
+    ``latest`` for exact resume. Returns a summary dict
+    (``return_state=True`` adds the final ``TrainState`` under ``"state"``
+    — used by tests that must inspect THIS process's in-memory state, e.g.
+    the multi-host equivalence test, where only the lead checkpoints).
     """
     if is_ann_model(cfg.model):
         return _ann_train_loop(cfg, synthetic=synthetic, max_steps=max_steps,
@@ -534,7 +555,12 @@ def train_loop(
     binocular = cfg.model != "stereospike_monocular"
 
     train_view, val_view, _ = data or _make_data(cfg, synthetic, None)
-    steps_per_epoch = max(len(train_view) // cfg.batch_size, 1)
+    # multi-host: the train iterator process-shards the sample order
+    # (batch_size per host, disjoint strides — _batch_iter), so the GLOBAL
+    # step count per epoch divides by the process count; the LR schedule
+    # must be built on it or the epoch milestones shift by ×process_count
+    steps_per_epoch = max(
+        len(train_view) // (cfg.batch_size * jax.process_count()), 1)
 
     # LR milestones are epoch-based (MultiStepLR [8,42,60]); the schedule is
     # step-indexed, so a resume with a different batch size/dataset must use
@@ -664,6 +690,7 @@ def train_loop(
     summary: Dict = {}
 
     steps_done = int(state.step)  # host-side mirror of state.step
+    _warm_preempt_collective()
     guard = _PreemptionGuard()
     try:
         for epoch in range(start_epoch, cfg.epochs):
@@ -794,6 +821,8 @@ def train_loop(
         # mid-epoch must not leave the process deaf to termination)
         guard.restore()
         logger.close()
+    if return_state:
+        summary = dict(summary, state=state)
     return summary
 
 
@@ -1102,7 +1131,12 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     loss_cfg = _loss_config(cfg)
 
     train_view, val_view, _ = data or _make_data(cfg, synthetic, None)
-    steps_per_epoch = max(len(train_view) // cfg.batch_size, 1)
+    # multi-host: the train iterator process-shards the sample order
+    # (batch_size per host, disjoint strides — _batch_iter), so the GLOBAL
+    # step count per epoch divides by the process count; the LR schedule
+    # must be built on it or the epoch milestones shift by ×process_count
+    steps_per_epoch = max(
+        len(train_view) // (cfg.batch_size * jax.process_count()), 1)
     sched_steps = steps_per_epoch
     resume_skip = 0
     if cfg.resume and has_checkpoint(cfg.checkpoint_dir):
@@ -1187,6 +1221,7 @@ def _ann_train_loop(cfg: TrainConfig, *, synthetic: bool = False,
     summary: Dict = {}
     steps_done = int(state.step)
     start_epoch = int(state.epoch)
+    _warm_preempt_collective()
     guard = _PreemptionGuard()
     try:
         for epoch in range(start_epoch, cfg.epochs):
