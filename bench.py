@@ -128,19 +128,25 @@ def main():
         with open(base_path) as f:
             baseline = json.load(f).get("frames_per_sec")
 
-    # absolute utilization next to the throughput ratio: train-step FLOPs
-    # per frame from the committed roofline profile (XLA cost analysis)
-    mfu = tflops = None
+    # absolute utilization next to the throughput ratio, in BOTH FLOP
+    # conventions (benchmarks/profile_train_step.json defines them):
+    # mfu = ALGORITHMIC FLOPs (dense composite math, stable across
+    # execution-form changes) / peak; executed_utilization = XLA cost
+    # analysis of the shipped program / peak
+    mfu = tflops = exec_util = None
     prof = os.path.join(os.path.dirname(__file__), "benchmarks",
                         "profile_train_step.json")
     if os.path.exists(prof):
         with open(prof) as f:
             p = json.load(f)
-        flops_per_frame = p["xla_cost_analysis"].get("flops", 0) / p["batch"]
         peak = p.get("peak_bf16_tflops")
-        if flops_per_frame and peak:
-            tflops = round(fps * flops_per_frame / 1e12, 1)
+        alg_per_frame = p.get("analytic_train_flops", 0) / p["batch"]
+        exec_per_frame = p["xla_cost_analysis"].get("flops", 0) / p["batch"]
+        if alg_per_frame and peak:
+            tflops = round(fps * alg_per_frame / 1e12, 1)
             mfu = round(tflops / peak, 4)
+        if exec_per_frame and peak:
+            exec_util = round(fps * exec_per_frame / 1e12 / peak, 4)
 
     print(json.dumps({
         "metric": "event frames/sec/chip (StereoSpike 260x346 train step, fwd+bwd+adam)",
@@ -158,6 +164,10 @@ def main():
                                     if fps_t_ms and fps_t1_matched else None),
         "sustained_tflops": tflops,
         "mfu": mfu,
+        "mfu_convention": ("algorithmic-FLOPs/peak-bf16; see "
+                           "benchmarks/profile_train_step.json"
+                           if mfu is not None else None),
+        "executed_utilization": exec_util,
     }))
 
 

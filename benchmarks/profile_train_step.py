@@ -125,11 +125,23 @@ def main() -> dict:
     layer = analytic_layer_flops(cfg, batch)
     fwd_flops = sum(layer.values())
     train_flops_analytic = 3 * fwd_flops  # fwd + dL/dx + dL/dw convs
-    flops = cost.get("flops", train_flops_analytic)
+    executed_flops = cost.get("flops")
+    flops = executed_flops or train_flops_analytic
 
     kind = jax.devices()[0].device_kind
-    tflops = flops / dt / 1e12
     peak = PEAK_BF16_TFLOPS.get(kind)
+    # Two FLOP conventions, reported separately (never mixed):
+    # - ALGORITHMIC (the MFU convention): the model's mathematical dense
+    #   cost — composite conv forms, factorized C_out=1 heads — regardless
+    #   of the execution form the compiler/config picked. Stable across
+    #   execution-form changes (polyphase, s2d, selection), so MFU tracks
+    #   real speed.
+    # - EXECUTED: XLA's cost analysis of the SHIPPED program (polyphase
+    #   deconv1/3, selection-GEMM heads incl. their 0/1 arithmetic).
+    #   Changes when the execution form changes; measures how hard the
+    #   chip is running, not how efficiently the model is served.
+    tflops_alg = train_flops_analytic / dt / 1e12
+    tflops_exec = (executed_flops / dt / 1e12) if executed_flops else None
     report = {
         "backend": jax.default_backend(),
         "device_kind": kind,
@@ -138,11 +150,19 @@ def main() -> dict:
         "frames_per_s": round(batch / dt, 2),
         "xla_cost_analysis": cost,
         "analytic_train_flops": train_flops_analytic,
-        "sustained_tflops": round(tflops, 2),
+        "flop_convention_note": (
+            "mfu/sustained_tflops use ALGORITHMIC FLOPs (dense composite "
+            "math); executed_* use XLA cost analysis of the shipped "
+            "program (includes selection-GEMM 0/1 arithmetic, excludes "
+            "MACs removed by polyphase)"),
+        "sustained_tflops": round(tflops_alg, 2),
+        "executed_tflops": round(tflops_exec, 2) if tflops_exec else None,
         "peak_bf16_tflops": peak,
-        "mfu": round(tflops / peak, 4) if peak else None,
+        "mfu": round(tflops_alg / peak, 4) if peak else None,
+        "executed_utilization": (round(tflops_exec / peak, 4)
+                                 if peak and tflops_exec else None),
         "mfu_by_generation": {
-            k: round(tflops / v, 4) for k, v in PEAK_BF16_TFLOPS.items()
+            k: round(tflops_alg / v, 4) for k, v in PEAK_BF16_TFLOPS.items()
         } if not peak else None,
         "hbm_roofline": {
             "bytes_accessed": cost.get("bytes accessed"),
