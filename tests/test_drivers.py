@@ -3,6 +3,7 @@ firing-rate loops on synthetic data, CLI, viz."""
 
 import dataclasses
 import glob
+import warnings
 import json
 import os
 
@@ -340,9 +341,18 @@ def test_device_setup_indivisible_batches(tmp_path):
     cfg = _tiny_cfg(str(tmp_path), batch_size=3, mesh_shape=(8, 1))
     with pytest.raises(ValueError, match="not divisible"):
         _device_setup(cfg)
-    # auto mesh falls back to single device but WARNS
+    # auto mesh falls back to single device but WARNS (once per config —
+    # reset the memo: an earlier test in the same process may already have
+    # consumed this (batch_size, n_devices) pair)
+    from stereospike_tpu.train import loop as loop_mod
+
+    loop_mod._WARNED_SINGLE_DEVICE.clear()
     cfg = _tiny_cfg(str(tmp_path), batch_size=3)
     with pytest.warns(UserWarning, match="SINGLE-device"):
+        assert _device_setup(cfg) is None
+    # and indeed only once: a second identical call stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         assert _device_setup(cfg) is None
 
 
