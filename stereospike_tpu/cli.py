@@ -28,6 +28,8 @@ import os
 import sys
 import typing
 
+import numpy as np
+
 from stereospike_tpu.train.config import TrainConfig
 
 
@@ -267,7 +269,10 @@ def main(argv=None) -> int:
             _require_exportable_weights(cfg, args.which)
             params = _load_params(cfg, build_model_config(cfg), args.which)
             sd = params_to_torch_state_dict(params)
-        torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, args.out)
+        # np.array(copy) first: jax gives read-only numpy views and torch
+        # warns on (and forbids writing through) non-writable tensors
+        torch.save({k: torch.as_tensor(np.array(v)) for k, v in sd.items()},
+                   args.out)
         print(json.dumps({"exported": args.out, "n_tensors": len(sd)}))
     elif args.command == "export-serving":
         # the jitted serving step (voxelize → stateful forward, weights
